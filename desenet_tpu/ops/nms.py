@@ -1,0 +1,160 @@
+"""Fixed-shape, on-device non-max suppression.
+
+Replaces the reference's host-side dynamic-shape ``torchvision.ops.nms`` path
+(core/utils/general.py:659-750) with an XLA-compilable formulation:
+
+- candidates are reduced to a static ``pre_topk`` set by score (the reference
+  caps at max_nms=30000; at conf>thresh the live candidate count is far below
+  our default cap — raise ``pre_topk`` for exact val parity runs)
+- the class-offset trick (cls * 4096 added to coords, general.py:732) makes one
+  class-agnostic pass equivalent to per-class NMS
+- greedy suppression runs as a ``lax.fori_loop`` of ``max_det`` argmax-pick /
+  mask-suppress steps — identical keep-set to torchvision's sequential NMS
+- output is a fixed (max_det, 6) [xyxy, conf, cls] block plus a validity mask,
+  so decode+NMS lives inside the same jit as the forward pass.
+
+Merge-NMS (general.py:737-743) is dead code in the reference (merge=False
+hard-coded) and is not implemented.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from desenet_tpu.ops.boxes import box_iou, xywh2xyxy
+
+MAX_WH = 4096  # class-offset multiplier (general.py:675)
+
+
+class NMSOutput(NamedTuple):
+    boxes: jax.Array  # (B, max_det, 4) xyxy
+    scores: jax.Array  # (B, max_det)
+    classes: jax.Array  # (B, max_det) float class ids
+    valid: jax.Array  # (B, max_det) bool
+    num: jax.Array  # (B,) int32 number of valid detections
+
+
+def _greedy_nms(boxes, scores, iou_thres, max_det):
+    """Sequential greedy NMS on a fixed-size candidate set.
+
+    boxes: (K,4) xyxy (already class-offset), scores: (K,) with invalid
+    candidates at -1. Returns indices (max_det,) into the candidate set and a
+    keep mask (max_det,).
+    """
+    k = boxes.shape[0]
+
+    def body(i, state):
+        live_scores, keep_idx, keep_ok = state
+        j = jnp.argmax(live_scores)
+        best = live_scores[j]
+        ok = best > 0.0
+        keep_idx = keep_idx.at[i].set(j)
+        keep_ok = keep_ok.at[i].set(ok)
+        # IoU of the chosen box vs every candidate
+        iou = box_iou(boxes[j][None, :], boxes)[0]  # (K,)
+        suppress = (iou > iou_thres) | (jnp.arange(k) == j)
+        live_scores = jnp.where(ok & suppress, -1.0, live_scores)
+        return live_scores, keep_idx, keep_ok
+
+    keep_idx = jnp.zeros((max_det,), dtype=jnp.int32)
+    keep_ok = jnp.zeros((max_det,), dtype=bool)
+    _, keep_idx, keep_ok = jax.lax.fori_loop(
+        0, max_det, body, (scores, keep_idx, keep_ok)
+    )
+    return keep_idx, keep_ok
+
+
+def _single_image_nms(
+    pred, conf_thres, iou_thres, max_det, pre_topk, multi_label, agnostic, nc
+):
+    """pred: (A, 5+nc) [xywh, obj, cls...] -> fixed (max_det, 6) detections."""
+    obj = pred[:, 4]
+    cand = obj > conf_thres  # general.py:668
+    box = xywh2xyxy(pred[:, :4])  # (A,4)
+    cls_conf = pred[:, 5:] * obj[:, None]  # conf = obj * cls (general.py:703)
+
+    if multi_label and nc > 1:
+        # every (anchor, class) pair above threshold is a candidate
+        scores_mat = jnp.where(
+            cand[:, None] & (cls_conf > conf_thres), cls_conf, -1.0
+        )  # (A, nc)
+        flat_scores = scores_mat.reshape(-1)  # (A*nc,)
+        top_scores, top_flat = jax.lax.top_k(flat_scores, pre_topk)
+        anchor_idx = top_flat // nc
+        cls_idx = (top_flat % nc).astype(jnp.float32)
+        top_boxes = box[anchor_idx]
+    else:
+        best_conf = jnp.max(cls_conf, axis=1)
+        best_cls = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
+        scores = jnp.where(cand & (best_conf > conf_thres), best_conf, -1.0)
+        top_scores, anchor_idx = jax.lax.top_k(scores, pre_topk)
+        cls_idx = best_cls[anchor_idx]
+        top_boxes = box[anchor_idx]
+
+    offset = 0.0 if agnostic else MAX_WH
+    nms_boxes = top_boxes + cls_idx[:, None] * offset
+    keep_idx, keep_ok = _greedy_nms(nms_boxes, top_scores, iou_thres, max_det)
+
+    out_boxes = jnp.where(keep_ok[:, None], top_boxes[keep_idx], 0.0)
+    out_scores = jnp.where(keep_ok, top_scores[keep_idx], 0.0)
+    out_cls = jnp.where(keep_ok, cls_idx[keep_idx], -1.0)
+    return out_boxes, out_scores, out_cls, keep_ok, jnp.sum(keep_ok).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres",
+        "iou_thres",
+        "max_det",
+        "pre_topk",
+        "multi_label",
+        "agnostic",
+    ),
+)
+def non_max_suppression(
+    prediction,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 2048,
+    multi_label: bool = False,
+    agnostic: bool = False,
+) -> NMSOutput:
+    """Batched fixed-shape NMS.
+
+    prediction: (B, A, 5+nc) decoded predictions in pixel xywh + obj + cls
+    (the Detect head's flattened inference output, yolo.py:275-277).
+    """
+    nc = prediction.shape[2] - 5
+    pre_topk = min(pre_topk, prediction.shape[1] * (nc if multi_label else 1))
+    fn = functools.partial(
+        _single_image_nms,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_topk=pre_topk,
+        multi_label=multi_label,
+        agnostic=agnostic,
+        nc=nc,
+    )
+    boxes, scores, classes, valid, num = jax.vmap(fn)(prediction.astype(jnp.float32))
+    return NMSOutput(boxes, scores, classes, valid, num)
+
+
+def batched_nms(boxes, scores, classes, iou_thres=0.45, max_det=300, agnostic=False):
+    """Class-aware greedy NMS on explicit (K,4)/(K,)/(K,) candidate arrays.
+
+    Utility entry point (e.g. TTA ensembling). Invalid candidates should carry
+    score <= 0.
+    """
+    offset = 0.0 if agnostic else MAX_WH
+    nms_boxes = boxes + classes[:, None] * offset
+    keep_idx, keep_ok = _greedy_nms(
+        nms_boxes, jnp.where(scores > 0, scores, -1.0), iou_thres, max_det
+    )
+    return keep_idx, keep_ok

@@ -1,0 +1,147 @@
+"""Resize / pooling primitives with exact PyTorch semantics, TPU-first.
+
+Design: interpolation and adaptive pooling are expressed as *separable dense
+matrix contractions* (one (H_out, H_in) matrix per axis, built at trace time
+with numpy, closed over as constants). On TPU this maps onto the MXU instead
+of gather chains, and gives bit-exact control of the boundary semantics:
+
+- ``align_corners=True`` bilinear (PyramidPooling + seg-head upsample parity,
+  reference common.py:610-613, yolo.py:212-216, 227-230)
+- ``align_corners=False`` bilinear (val.py:47 logits resize)
+- ``nearest`` with floor(i * in/out) source indexing (torch F.interpolate
+  default / nn.Upsample(mode='nearest'), reference ASPP/RFB2 global branches)
+- torch ``AdaptiveAvgPool2d`` integer-boundary windows (floor/ceil), used by
+  PyramidPooling k=[1,2,3,6] and every channel-attention global pool.
+
+All image ops take NHWC arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """(n_out, n_in) row-stochastic 1-D linear interpolation matrix."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    for i in range(n_out):
+        if align_corners:
+            src = i * (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+        else:
+            src = (i + 0.5) * n_in / n_out - 0.5
+            src = min(max(src, 0.0), n_in - 1)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, n_in - 1)
+        frac = src - lo
+        m[i, lo] += 1.0 - frac
+        m[i, hi] += frac
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) one-hot matrix for torch 'nearest' (floor) indexing."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    idx = np.minimum((np.arange(n_out) * n_in // n_out), n_in - 1)
+    m[np.arange(n_out), idx] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) averaging matrix with torch AdaptiveAvgPool boundaries:
+    window i covers [floor(i*n_in/n_out), ceil((i+1)*n_in/n_out))."""
+    m = np.zeros((n_out, n_in), dtype=np.float32)
+    for i in range(n_out):
+        lo = (i * n_in) // n_out
+        hi = -(-((i + 1) * n_in) // n_out)  # ceil
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    return m
+
+
+def _apply_separable(x: jax.Array, mh: np.ndarray, mw: np.ndarray) -> jax.Array:
+    """Contract NHWC x with per-axis (out,in) matrices.
+
+    precision=HIGHEST keeps the MXU in fp32 passes for these contractions —
+    interpolation weights are exact dyadic/rational values and the seg-mIoU
+    parity gate is sensitive to resample error; these matrices are tiny
+    relative to the conv FLOPs so fp32 here costs ~nothing.
+    """
+    dt = x.dtype
+    a = jnp.asarray(mh, dtype=jnp.float32)
+    b = jnp.asarray(mw, dtype=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,nhwc->nowc", a, x.astype(jnp.float32), precision=hi)
+    y = jnp.einsum("pw,nhwc->nhpc", b, y, precision=hi)
+    return y.astype(dt)
+
+
+def resize_bilinear(x: jax.Array, out_hw, align_corners: bool = False) -> jax.Array:
+    """Bilinear resize of NHWC x to (H_out, W_out) with exact torch semantics."""
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    _, h_in, w_in, _ = x.shape
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    return _apply_separable(
+        x,
+        _linear_matrix(h_in, h_out, align_corners),
+        _linear_matrix(w_in, w_out, align_corners),
+    )
+
+
+def resize_nearest(x: jax.Array, out_hw) -> jax.Array:
+    """Nearest resize of NHWC x with torch floor-index semantics."""
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    n, h_in, w_in, c = x.shape
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    if h_out % h_in == 0 and w_out % w_in == 0:
+        return upsample_nearest(x, h_out // h_in)
+    hi = np.minimum(np.arange(h_out) * h_in // h_out, h_in - 1)
+    wi = np.minimum(np.arange(w_out) * w_in // w_out, w_in - 1)
+    return x[:, hi][:, :, wi]
+
+
+def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
+    """Integer-factor nearest upsample (the PANet neck 2x, yolov5s_seg.yaml:31,36)."""
+    if scale == 1:
+        return x
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, scale, w, scale, c))
+    return x.reshape(n, h * scale, w * scale, c)
+
+
+def adaptive_avg_pool(x: jax.Array, out_hw) -> jax.Array:
+    """torch.nn.AdaptiveAvgPool2d on NHWC input (exact window boundaries)."""
+    if isinstance(out_hw, int):
+        out_hw = (out_hw, out_hw)
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    _, h_in, w_in, _ = x.shape
+    if h_out == 1 and w_out == 1:
+        return jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32).astype(x.dtype)
+    return _apply_separable(
+        x, _adaptive_pool_matrix(h_in, h_out), _adaptive_pool_matrix(w_in, w_out)
+    )
+
+
+def max_pool_same(x: jax.Array, k: int) -> jax.Array:
+    """MaxPool2d(kernel=k, stride=1, padding=k//2) on NHWC — the SPP pools
+    (reference common.py:179). -inf padding == torch behavior for stride 1,
+    pad k//2 (window always overlaps valid data)."""
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)),
+    )

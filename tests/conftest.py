@@ -1,0 +1,30 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU platform so
+multi-device sharding tests run without TPU hardware (the JAX-native way to
+simulate a cluster).
+
+The container's sitecustomize registers the axon TPU plugin at interpreter
+startup, so plain env vars are not enough — we must also re-select the
+platform through jax.config before any backend is initialized.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

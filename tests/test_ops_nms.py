@@ -1,0 +1,120 @@
+"""Fixed-shape NMS vs a sequential greedy-NMS numpy oracle (same keep-set
+semantics as torchvision.ops.nms, the reference backend)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from desenet_tpu.ops import non_max_suppression
+from desenet_tpu.ops.nms import batched_nms, MAX_WH
+
+
+def np_greedy_nms(boxes, scores, iou_thres):
+    """Sequential greedy NMS, identical semantics to torchvision.ops.nms."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    suppressed = np.zeros(len(scores), bool)
+    areas = np.clip(boxes[:, 2] - boxes[:, 0], 0, None) * np.clip(
+        boxes[:, 3] - boxes[:, 1], 0, None
+    )
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        iou = inter / (areas[i] + areas - inter + 1e-12)
+        suppressed |= iou > iou_thres
+    return np.array(keep, dtype=np.int64)
+
+
+def make_pred(rng, a=400, nc=6):
+    """Random decoded predictions (1, A, 5+nc): clustered boxes so NMS matters."""
+    centers = rng.uniform(50, 590, size=(a, 2)).astype(np.float32)
+    # force clusters: half the boxes are near-copies of the first half
+    centers[a // 2 :] = centers[: a // 2] + rng.normal(0, 3, size=(a // 2, 2))
+    wh = rng.uniform(10, 60, size=(a, 2)).astype(np.float32)
+    wh[a // 2 :] = wh[: a // 2] * rng.uniform(0.9, 1.1, size=(a // 2, 2))
+    obj = rng.uniform(0, 1, size=(a, 1)).astype(np.float32)
+    cls = rng.uniform(0, 1, size=(a, nc)).astype(np.float32)
+    return np.concatenate([centers, wh, obj, cls], axis=1)[None].astype(np.float32)
+
+
+def reference_nms(pred, conf_thres, iou_thres, max_det, multi_label):
+    """Mirror of general.py:659-750 behavior with the numpy greedy kernel."""
+    x = pred[0].copy()
+    x = x[x[:, 4] > conf_thres]
+    if not x.shape[0]:
+        return np.zeros((0, 6), np.float32)
+    x[:, 5:] *= x[:, 4:5]
+    box = np.stack(
+        [
+            x[:, 0] - x[:, 2] / 2,
+            x[:, 1] - x[:, 3] / 2,
+            x[:, 0] + x[:, 2] / 2,
+            x[:, 1] + x[:, 3] / 2,
+        ],
+        axis=1,
+    )
+    if multi_label:
+        i, j = np.nonzero(x[:, 5:] > conf_thres)
+        x = np.concatenate(
+            [box[i], x[i, j + 5, None], j[:, None].astype(np.float32)], axis=1
+        )
+    else:
+        conf = x[:, 5:].max(1, keepdims=True)
+        j = x[:, 5:].argmax(1, keepdims=True)
+        x = np.concatenate([box, conf, j.astype(np.float32)], axis=1)[
+            conf.ravel() > conf_thres
+        ]
+    c = x[:, 5:6] * MAX_WH
+    keep = np_greedy_nms(x[:, :4] + c, x[:, 4], iou_thres)
+    return x[keep[:max_det]]
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+def test_nms_matches_torchvision(rng, multi_label):
+    pred = make_pred(rng)
+    conf_thres, iou_thres, max_det = 0.25, 0.45, 300
+    exp = reference_nms(pred, conf_thres, iou_thres, max_det, multi_label)
+    out = non_max_suppression(
+        jnp.asarray(pred),
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        pre_topk=1024,
+        multi_label=multi_label,
+    )
+    n = int(out.num[0])
+    assert n == exp.shape[0]
+    got_boxes = np.asarray(out.boxes[0][:n])
+    got_scores = np.asarray(out.scores[0][:n])
+    got_cls = np.asarray(out.classes[0][:n])
+    # torchvision returns keep indices in score order — so do we
+    np.testing.assert_allclose(got_scores, exp[:, 4], atol=1e-5)
+    np.testing.assert_allclose(got_boxes, exp[:, :4], atol=1e-3)
+    np.testing.assert_array_equal(got_cls, exp[:, 5])
+
+
+def test_nms_empty(rng):
+    pred = make_pred(rng)
+    pred[..., 4] = 0.0  # no candidates
+    out = non_max_suppression(jnp.asarray(pred), conf_thres=0.25)
+    assert int(out.num[0]) == 0
+    assert not bool(np.asarray(out.valid).any())
+
+
+def test_batched_nms_utility(rng):
+    boxes = np.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    classes = np.array([0.0, 0.0, 1.0], np.float32)
+    keep_idx, keep_ok = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes), iou_thres=0.5
+    )
+    kept = np.asarray(keep_idx)[np.asarray(keep_ok)]
+    np.testing.assert_array_equal(kept, [0, 2])
