@@ -1,0 +1,327 @@
+"""Build-time compiler: YAML graph DSL -> concrete flax model.
+
+Keeps the reference's model DSL (rows of [from, number, module, args] with
+depth_multiple/width_multiple scaling — yolo.py:443-499 semantics) but
+compiles it *ahead of time* into a static LayerSpec list:
+
+- no eval() of module names (explicit registry),
+- channel propagation and width gain (make_divisible(c2*gw, 8)) resolved at
+  build time,
+- layer strides derived *statically* from the graph (the reference probes a
+  zeros(2,3,256,256) forward, yolo.py:315 — unnecessary here),
+- head outputs discovered structurally (reference hard-codes seg layer 24 via
+  save.append(24) / y[-2], yolo.py:305,356 — a documented quirk we fix).
+
+The resulting DeSeNet flax module walks the compiled layer list; under jit
+this unrolls into a single XLA graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import yaml as pyyaml
+from flax import linen as nn
+
+from desenet_tpu.models import heads as H
+from desenet_tpu.models import layers as L
+from desenet_tpu.ops.resize import upsample_nearest
+
+Dtype = Any
+
+# module-name -> (kind tag used by the walker, needs n repeats from depth gain)
+_BLOCKS_WITH_WIDTH = {
+    "Conv", "GhostConv", "Bottleneck", "GhostBottleneck", "SPP", "SPPF",
+    "DWConv", "MixConv2d", "Focus", "CrossConv", "BottleneckCSP", "C3",
+    "C3TR", "C3SPP", "C3Ghost",
+}
+_REPEAT_INNER = {"BottleneckCSP", "C3", "C3TR", "C3Ghost"}
+_SEG_HEADS = {"SegMaskLab", "SegMaskBase", "SegMaskPSP", "SegMaskPSP2",
+              "SegMaskBiSe"}
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    i: int
+    f: Tuple[int, ...]  # absolute 'from' layer indices (-1 already resolved)
+    name: str  # registry module name
+    args: Tuple  # positional args after channel resolution
+    c2: int  # output channels
+    stride: int  # cumulative stride vs input resolution (0 for heads)
+    n: int = 1  # outer repeat count (only for non-inner-repeat modules)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    layers: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]  # layer indices whose outputs later layers consume
+    de_nc: int
+    se_nc: int
+    anchors: Tuple[Tuple[float, ...], ...]
+    det_strides: Tuple[int, ...]
+    det_layer: int  # index of Detect layer (-1 if absent)
+    seg_layer: int  # index of SegMask layer (-1 if absent)
+    ch_in: int = 3
+
+
+def _round_depth(n: int, gd: float) -> int:
+    return max(round(n * gd), 1) if n > 1 else n
+
+
+def parse_config(cfg, ch: int = 3, nc: Optional[int] = None) -> ModelSpec:
+    """Compile a model dict / yaml path into a ModelSpec."""
+    if not isinstance(cfg, dict):
+        with open(cfg, "r", encoding="utf-8") as fh:
+            cfg = pyyaml.safe_load(fh)
+
+    de_nc = int(nc if nc is not None else cfg["de_nc"])
+    se_nc = int(cfg.get("se_nc", 0))
+    gd = float(cfg["depth_multiple"])
+    gw = float(cfg["width_multiple"])
+    anchors = cfg["anchors"]
+
+    chs = [ch]  # per-layer output channels (chs[0] = input)
+    strides = [1]  # per-layer cumulative stride
+    layers = []
+    save = set()
+    det_layer = seg_layer = -1
+    det_strides: Tuple[int, ...] = ()
+
+    rows = list(cfg["backbone"]) + list(cfg["head"])
+    for i, (f, n, mname, args) in enumerate(rows):
+        fs = tuple(
+            (x if x >= 0 else i + x) for x in (f if isinstance(f, list) else [f])
+        )
+        n_out = _round_depth(int(n), gd)
+        args = list(args)
+
+        # resolve symbolic args from the Parameters block (the reference
+        # eval()s them; we substitute explicitly)
+        for j, a in enumerate(args):
+            if isinstance(a, str) and a in cfg:
+                args[j] = cfg[a]
+        if mname == "Detect" and args[0] == cfg.get("de_nc"):
+            args[0] = de_nc
+
+        in_stride = strides[fs[0] + 1]
+        stride = in_stride
+        if mname in _BLOCKS_WITH_WIDTH:
+            c2 = args[0]
+            c2 = L.make_divisible(c2 * gw, 8)
+            margs = [c2, *args[1:]]
+            if mname in _REPEAT_INNER:
+                margs.insert(1, n_out)  # inner repeat count
+                n_rep = 1
+            else:
+                n_rep = n_out
+            if mname == "Focus":
+                stride = in_stride * 2
+            elif mname in ("Conv", "DWConv", "GhostConv", "CrossConv", "MixConv2d"):
+                s = margs[2] if len(margs) > 2 else 1
+                stride = in_stride * int(s)
+            elif mname == "GhostBottleneck":
+                s = margs[2] if len(margs) > 2 else 1
+                stride = in_stride * int(s)
+            spec = LayerSpec(i, fs, mname, tuple(
+                tuple(a) if isinstance(a, list) else a for a in margs
+            ), c2, stride, n_rep)
+        elif mname == "nn.Upsample":
+            scale = int(args[1])
+            mode = args[2] if len(args) > 2 else "nearest"
+            c2 = chs[fs[0] + 1]
+            stride = in_stride // scale
+            spec = LayerSpec(i, fs, "Upsample", (scale, mode), c2, stride)
+        elif mname == "Concat":
+            c2 = sum(chs[x + 1] for x in fs)
+            spec = LayerSpec(i, fs, "Concat", (), c2, in_stride)
+        elif mname == "nn.BatchNorm2d":
+            c2 = chs[fs[0] + 1]
+            spec = LayerSpec(i, fs, "BatchNorm", (), c2, in_stride)
+        elif mname == "Contract":
+            g = int(args[0])
+            c2 = chs[fs[0] + 1] * g * g
+            spec = LayerSpec(i, fs, "Contract", (g,), c2, in_stride * g)
+        elif mname == "Expand":
+            g = int(args[0])
+            c2 = chs[fs[0] + 1] // (g * g)
+            spec = LayerSpec(i, fs, "Expand", (g,), c2, in_stride // g)
+        elif mname == "Detect":
+            det_layer = i
+            det_strides = tuple(strides[x + 1] for x in fs)
+            anc = args[1]
+            if isinstance(anc, int):  # 'anchors: N' shorthand
+                anc = [list(range(anc * 2))] * len(fs)
+            anchors = anc
+            c2 = 0
+            spec = LayerSpec(
+                i, fs, "Detect",
+                (args[0], tuple(tuple(float(v) for v in row) for row in anc)),
+                c2, 0,
+            )
+        elif mname in _SEG_HEADS:
+            seg_layer = i
+            n_seg = _round_depth(int(args[1]), gd) if len(args) > 1 else 1
+            c_hid = L.make_divisible(args[2] * gw, 8) if len(args) > 2 else 256
+            shortcut = bool(args[3]) if len(args) > 3 else False
+            c2 = int(args[0])
+            spec = LayerSpec(i, fs, mname, (int(args[0]), n_seg, c_hid, shortcut),
+                             c2, strides[fs[0] + 1])
+        else:
+            raise ValueError(f"unknown module {mname!r} in model config row {i}")
+
+        layers.append(spec)
+        chs.append(spec.c2)
+        strides.append(spec.stride)
+        for x in fs:
+            if x != i - 1:
+                save.add(x)
+
+    return ModelSpec(
+        layers=tuple(layers),
+        save=tuple(sorted(save)),
+        de_nc=de_nc,
+        se_nc=se_nc,
+        anchors=tuple(tuple(float(v) for v in row) for row in anchors),
+        det_strides=det_strides,
+        det_layer=det_layer,
+        seg_layer=seg_layer,
+        ch_in=ch,
+    )
+
+
+def _instantiate(spec: LayerSpec, dtype, name: str) -> Optional[nn.Module]:
+    """LayerSpec -> flax module (None for parameterless graph ops)."""
+    a = spec.args
+    mk = {
+        "Conv": lambda: L.ConvBnAct(a[0], *(a[1:]), dtype=dtype, name=name),
+        "DWConv": lambda: L.DWConv(0, a[0], *(a[1:]), dtype=dtype, name=name),
+        "Focus": lambda: L.Focus(a[0], *(a[1:]), dtype=dtype, name=name),
+        "Bottleneck": lambda: L.Bottleneck(a[0], *(a[1:]), dtype=dtype, name=name),
+        "BottleneckCSP": lambda: L.BottleneckCSP(a[0], *(a[1:]), dtype=dtype,
+                                                 name=name),
+        "C3": lambda: L.C3(a[0], *(a[1:]), dtype=dtype, name=name),
+        "C3TR": lambda: L.C3TR(a[0], *(a[1:]), dtype=dtype, name=name),
+        "C3SPP": lambda: L.C3SPP(a[0], *(a[1:]), dtype=dtype, name=name),
+        "C3Ghost": lambda: L.C3Ghost(a[0], *(a[1:]), dtype=dtype, name=name),
+        "SPP": lambda: L.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13),
+                             dtype=dtype, name=name),
+        "SPPF": lambda: L.SPPF(a[0], a[1] if len(a) > 1 else 5, dtype=dtype,
+                               name=name),
+        "GhostConv": lambda: L.GhostConv(a[0], *(a[1:]), dtype=dtype, name=name),
+        "GhostBottleneck": lambda: L.GhostBottleneck(a[0], *(a[1:]), dtype=dtype,
+                                                     name=name),
+        "CrossConv": lambda: L.CrossConv(a[0], *(a[1:]), dtype=dtype, name=name),
+        "MixConv2d": lambda: L.MixConv2d(a[0], *(a[1:]), dtype=dtype, name=name),
+        "Contract": lambda: L.Contract(a[0], name=name),
+        "Expand": lambda: L.Expand(a[0], name=name),
+        "BatchNorm": lambda: L.BatchNorm(dtype, name=name),
+        "Upsample": lambda: None,
+        "Concat": lambda: None,
+    }
+    if spec.name in mk:
+        return mk[spec.name]()
+    if spec.name == "Detect":
+        return None  # built by DeSeNet with strides
+    if spec.name in _SEG_HEADS:
+        cls = getattr(H, spec.name)
+        n_segcls, n_seg, c_hid, shortcut = spec.args
+        kw = dict(n_segcls=n_segcls, n=n_seg, c_hid=c_hid, dtype=dtype, name=name)
+        if spec.name != "SegMaskPSP2":
+            kw["shortcut"] = shortcut
+        return cls(**kw)
+    raise ValueError(spec.name)
+
+
+class DeSeNet(nn.Module):
+    """The compiled joint detection+segmentation model.
+
+    __call__(x NHWC in [0,1]) ->
+      train=True:  (det_feats [per-scale (B,na,ny,nx,no)], seg_out)
+      train=False: ((det_decoded (B,A,no), det_feats), seg_out)
+    matching the reference Model._forward_once contract (yolo.py:344-356) with
+    the head outputs discovered structurally instead of by index.
+    """
+
+    spec: ModelSpec
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        mods = {}
+        for ls in self.spec.layers:
+            if ls.name == "Detect":
+                mods[f"l{ls.i}"] = H.Detect(
+                    nc=ls.args[0],
+                    anchors=ls.args[1],
+                    strides=self.spec.det_strides,
+                    dtype=self.dtype,
+                    name=f"l{ls.i}",
+                )
+            else:
+                if ls.n > 1:
+                    # outer repeats mirror torch's nn.Sequential wrapping:
+                    # torch 'model.i.j.*' <-> flax 'l{i}s{j}/*'
+                    mods[f"l{ls.i}"] = tuple(
+                        _instantiate(ls, self.dtype, name=f"l{ls.i}s{j}")
+                        for j in range(ls.n)
+                    )
+                else:
+                    m = _instantiate(ls, self.dtype, name=f"l{ls.i}")
+                    if m is not None:
+                        mods[f"l{ls.i}"] = m
+        self._mods = mods
+
+    def __call__(self, x, train: bool = False):
+        cache = {}
+        det_out = None
+        seg_out = None
+        cache[-1] = x
+        prev = x
+        for ls in self.spec.layers:
+            if len(ls.f) == 1:
+                inp = prev if ls.f[0] == ls.i - 1 else cache[ls.f[0]]
+            else:
+                inp = [prev if j == ls.i - 1 else cache[j] for j in ls.f]
+
+            if ls.name == "Upsample":
+                scale, mode = ls.args
+                assert mode == "nearest", mode
+                out = upsample_nearest(inp, scale)
+            elif ls.name == "Concat":
+                out = jnp.concatenate(inp, axis=-1)
+            elif ls.name == "Detect":
+                out = self._mods[f"l{ls.i}"](inp, train=train)
+                det_out = out
+            elif ls.name in _SEG_HEADS:
+                out = self._mods[f"l{ls.i}"](
+                    inp if isinstance(inp, list) else [inp], train=train
+                )
+                seg_out = out
+            else:
+                m = self._mods[f"l{ls.i}"]
+                if isinstance(m, tuple):
+                    out = inp
+                    for sub in m:
+                        out = sub(out, train=train)
+                else:
+                    out = m(inp, train=train)
+
+            if ls.i in self.spec.save:
+                cache[ls.i] = out
+            prev = out
+        return det_out, seg_out
+
+
+def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
+                dtype=jnp.float32) -> Tuple[DeSeNet, ModelSpec]:
+    spec = parse_config(cfg, ch=ch, nc=nc)
+    return DeSeNet(spec=spec, dtype=dtype), spec
+
+
+def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):
+    """Initialize params/batch_stats with a dummy forward."""
+    x = jnp.zeros((batch, img_size, img_size, model.spec.ch_in), model.dtype)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    return variables

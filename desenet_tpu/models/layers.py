@@ -1,0 +1,901 @@
+"""NN building blocks (flax.linen, NHWC) — capability parity with the
+reference module library (core/models/common.py), re-designed for TPU.
+
+Layout and numerics decisions:
+
+- NHWC activations, HWIO kernels (TPU native). The torch reference is
+  NCHW/OIHW; the checkpoint converter transposes.
+- Explicit symmetric padding ((k//2, k//2)) like torch's Conv2d(padding=k//2),
+  NOT XLA 'SAME' — for stride-2 convs the two differ in window alignment and
+  would break weight-conversion parity (reference common.py:32-39).
+- BatchNorm: eps=1e-3, torch-momentum 0.03 => flax momentum 0.97
+  (reference torch_utils.py:160-168); stats/params in fp32, compute dtype
+  configurable (bf16 on TPU).
+- torch-style default init (kaiming-uniform a=sqrt(5) == U(+-1/sqrt(fan_in)))
+  so from-scratch training matches the reference's initialization statistics.
+- The reference's Conv quirk — BN is *skipped* when the spatial map is 1x1
+  (common.py:53, fires on every channel-attention/global-pool branch) — is a
+  static shape condition here, replicated exactly.
+
+Each class cites the reference lines it mirrors behaviorally.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from desenet_tpu.ops.resize import (
+    adaptive_avg_pool,
+    max_pool_same,
+    resize_bilinear,
+    resize_nearest,
+    upsample_nearest,
+)
+
+Dtype = Any
+
+
+def autopad(k, p=None):
+    """'same' padding = k//2 (reference common.py:32-39)."""
+    if p is None:
+        p = k // 2 if isinstance(k, int) else [x // 2 for x in k]
+    return p
+
+
+def make_divisible(x, divisor=8):
+    """Round channel count up to a multiple of divisor (general.py:250-253)."""
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)).
+
+    shape is HWIO; fan_in = H * W * I (I is already per-group in flax).
+    """
+    fan_in = shape[0] * shape[1] * shape[2]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default on an (in, out) flax kernel."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2d(nn.Module):
+    """Bare conv with torch-compatible explicit padding and init.
+
+    The workhorse under every block; named `conv` inside ConvBnAct so torch
+    checkpoints map as model.N.conv.weight -> .../conv/kernel.
+    """
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    padding: Optional[int] = None  # None => autopad (k//2)
+    groups: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = autopad(self.kernel, self.padding)
+        pad = ((p, p), (p, p)) if isinstance(p, int) else tuple((v, v) for v in p)
+        conv = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=pad,
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=torch_conv_bias_init(
+                (x.shape[-1] // self.groups) * self.kernel * self.kernel
+            ),
+            name="conv2d",
+        )
+        return conv(x)
+
+
+class BatchNorm(nn.Module):
+    """BN with reference hyperparams (eps 1e-3, torch momentum 0.03)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.97,
+            epsilon=1e-3,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=None,
+            name="bn",
+        )(x)
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+class ConvBnAct(nn.Module):
+    """Conv2d(bias=False) + BN + SiLU — the reference `Conv`/CBL block
+    (common.py:42-56), including the 1x1-spatial BN-skip quirk (:53).
+
+    `act`: True => SiLU, False => identity, or a callable.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Union[bool, Callable] = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.conv = Conv2d(
+            self.c2, self.k, self.s, self.p, self.g, self.d, False, self.dtype,
+            name="conv",
+        )
+        self.bn = BatchNorm(self.dtype, name="bn")
+
+    def _act(self, x):
+        if self.act is True:
+            return silu(x)
+        if callable(self.act):
+            return self.act(x)
+        return x
+
+    def __call__(self, x, train: bool = False):
+        y = self.conv(x)
+        if y.shape[1] * y.shape[2] > 1:  # skip BN on 1x1 maps (common.py:53)
+            y = self.bn(y, train)
+        return self._act(y)
+
+
+class DWConv(nn.Module):
+    """Depthwise-ish conv via groups=gcd(c1,c2) (common.py:59-62)."""
+
+    c1: int
+    c2: int
+    k: int = 1
+    s: int = 1
+    act: Union[bool, Callable] = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBnAct(
+            self.c2, self.k, self.s, g=math.gcd(self.c1, self.c2),
+            act=self.act, dtype=self.dtype, name="conv",
+        )(x, train)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 with optional residual (common.py:101-111)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class BottleneckCSP(nn.Module):
+    """Legacy CSP bottleneck with LeakyReLU fusion (common.py:114-130)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, 1.0, self.dtype, name=f"m_{i}")(
+                y1, train
+            )
+        y1 = Conv2d(c_, 1, 1, use_bias=False, dtype=self.dtype, name="cv3")(y1)
+        y2 = Conv2d(c_, 1, 1, use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = BatchNorm(self.dtype, name="bn")(y, train)
+        y = nn.leaky_relu(y, negative_slope=0.1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (common.py:133-145)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, 1.0, self.dtype, name=f"m_{i}")(
+                y1, train
+            )
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling: parallel stride-1 maxpools (common.py:172-185)."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [y] + [max_pool_same(y, k) for k in self.k]
+        y = jnp.concatenate(pools, axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class SPPF(nn.Module):
+    """Serial-pool SPP equivalent (common.py:188-203)."""
+
+    c2: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = max_pool_same(y, self.k)
+        y2 = max_pool_same(y1, self.k)
+        y3 = max_pool_same(y2, self.k)
+        out = jnp.concatenate([y, y1, y2, y3], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(out, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: 4-way pixel slice + conv (common.py:618-627).
+
+    Channel concat order matches the torch slicing
+    [::2,::2], [1::2,::2], [::2,1::2], [1::2,1::2] so converted weights line
+    up. (Slice indices are over (H, W): [..., y, x] in torch NCHW ==
+    [:, y, x, :] in NHWC.)
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    act: Union[bool, Callable] = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        parts = [
+            x[:, ::2, ::2, :],
+            x[:, 1::2, ::2, :],
+            x[:, ::2, 1::2, :],
+            x[:, 1::2, 1::2, :],
+        ]
+        y = jnp.concatenate(parts, axis=-1)
+        return ConvBnAct(
+            self.c2, self.k, self.s, self.p, self.g, act=self.act,
+            dtype=self.dtype, name="conv",
+        )(y, train)
+
+
+class Contract(nn.Module):
+    """Pixel-unshuffle: (b,h,w,c) -> (b,h/g,w/g,c*g^2) (common.py:658-668)."""
+
+    gain: int = 2
+
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        g = self.gain
+        # match torch channel ordering: view(N,C,H/g,g,W/g,g) -> C*g*g fastest
+        # over (g_h, g_w) then C.  In NHWC: -> (N,H/g,W/g, g*g*C) with
+        # (gh, gw) major like the torch permute (0,3,5,1,2,4).
+        x = x.reshape(n, h // g, g, w // g, g, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h/g, w/g, gh, gw, c
+        return x.reshape(n, h // g, w // g, g * g * c)
+
+
+class Expand(nn.Module):
+    """Pixel-shuffle inverse of Contract (common.py:671-683)."""
+
+    gain: int = 2
+
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        g = self.gain
+        x = x.reshape(n, h, w, g, g, c // (g * g))
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # n, h, gh, w, gw, c/g^2
+        return x.reshape(n, h * g, w * g, c // (g * g))
+
+
+class GhostConv(nn.Module):
+    """GhostNet conv: primary 1x1 + cheap depthwise (common.py:630-639)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    act: Union[bool, Callable] = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBnAct(
+            c_, self.k, self.s, None, self.g, act=self.act, dtype=self.dtype,
+            name="cv1",
+        )(x, train)
+        y2 = ConvBnAct(c_, 5, 1, None, c_, act=self.act, dtype=self.dtype, name="cv2")(
+            y, train
+        )
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck w/ optional stride-2 DW + shortcut path
+    (common.py:642-655)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = x.shape[-1]
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="gc1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, c_, self.k, self.s, act=False, dtype=self.dtype, name="dw")(
+                y, train
+            )
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="gc2")(y, train)
+        if self.s == 2:
+            sc = DWConv(c1, c1, self.k, self.s, act=False, dtype=self.dtype,
+                        name="sc_dw")(x, train)
+            sc = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype, name="sc_pw")(
+                sc, train
+            )
+        else:
+            sc = x if c1 == self.c2 else None
+        return y + sc if sc is not None else y
+
+
+class C3SPP(nn.Module):
+    """C3 with an SPP inner stack (common.py:156-161); used by SegMaskBase."""
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = SPP(c_, self.k, dtype=self.dtype, name="m")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck inner stack (common.py:164-169)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = GhostBottleneck(c_, dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class TransformerLayer(nn.Module):
+    """ViT-style layer without LayerNorm (common.py:65-79). Tokens (L, B, C)
+    are expressed here as (B, L, C)."""
+
+    c: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dense = lambda name: nn.Dense(
+            self.c, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=torch_linear_kernel_init, name=name,
+        )
+        q, k, v = dense("q")(x), dense("k")(x), dense("v")(x)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype, param_dtype=jnp.float32,
+            name="ma",
+        )(q, k, v)
+        x = attn + x
+        y = dense("fc1")(x)
+        return dense("fc2")(y) + x
+
+
+class TransformerBlock(nn.Module):
+    """Sequence of TransformerLayers over flattened spatial tokens
+    (common.py:82-98)."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.c2:
+            x = ConvBnAct(self.c2, dtype=self.dtype, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        p = p + nn.Dense(
+            c, dtype=self.dtype, param_dtype=jnp.float32,
+            kernel_init=torch_linear_kernel_init, name="linear",
+        )(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, self.dtype, name=f"tr_{i}")(
+                p, train
+            )
+        return p.reshape(b, h, w, self.c2)
+
+
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock inner stack (common.py:148-153)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = TransformerBlock(c_, 4, self.n, self.dtype, name="m")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class ARM(nn.Module):
+    """BiSeNet attention-refinement: 3x3 conv then SE gate (common.py:206-218).
+    The SE's 1x1 ConvBnAct runs on a 1x1 map => its BN is statically skipped,
+    matching the reference quirk."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = ConvBnAct(self.c2, 3, 1, dtype=self.dtype, name="conv")(x, train)
+        att = adaptive_avg_pool(feat, 1)
+        att = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype, name="att_conv")(
+            att, train
+        )
+        att = jax.nn.sigmoid(att)
+        return feat * att
+
+
+class FFM(nn.Module):
+    """Feature-fusion module: conv + channel attention, residual add
+    (common.py:222-242)."""
+
+    c2: int
+    reduction: int = 1
+    is_cat: bool = True
+    k: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        fcat = jnp.concatenate(x, axis=-1) if self.is_cat else x
+        feat = ConvBnAct(self.c2, self.k, 1, dtype=self.dtype, name="convblk")(
+            fcat, train
+        )
+        att = jnp.mean(feat.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(
+            feat.dtype
+        )
+        att = Conv2d(self.c2 // self.reduction, 1, use_bias=False, dtype=self.dtype,
+                     name="att_fc1")(att)
+        att = silu(att)
+        att = Conv2d(self.c2, 1, use_bias=False, dtype=self.dtype, name="att_fc2")(att)
+        att = jax.nn.sigmoid(att)
+        return feat * att + feat
+
+
+class DilatedConvBnSiLU(nn.Module):
+    """nn.Conv2d(dilated, bias=False)+BN+SiLU branch used inside ASPP/RFB
+    blocks (e.g. common.py:516-519)."""
+
+    c2: int
+    d: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv2d(self.c2, 3, 1, padding=self.d, dilation=self.d, dtype=self.dtype,
+                   name="conv")(x)
+        y = BatchNorm(self.dtype, name="bn")(y, train)
+        return silu(y)
+
+
+class GlobalBranch(nn.Module):
+    """AdaptiveAvgPool(1) + 1x1 ConvBnAct, broadcast back by nearest resize —
+    the has_global branch shared by ASPP/RFB1/RFB2/ACSP (common.py:292-296)."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, out_hw, train: bool = False):
+        g = adaptive_avg_pool(x, 1)
+        g = ConvBnAct(self.c2, 1, dtype=self.dtype, name="conv")(g, train)
+        return resize_nearest(g, out_hw)
+
+
+class ASPP(nn.Module):
+    """Parallel dilated branches + optional global (common.py:268-310)."""
+
+    c2: int
+    d: Tuple[int, int, int] = (3, 6, 9)
+    has_global: bool = True
+    map_reduce: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hid = x.shape[-1] // self.map_reduce
+        b0 = ConvBnAct(hid, 1, 1, dtype=self.dtype, name="branch0")(x, train)
+        b1 = DilatedConvBnSiLU(hid, self.d[0], self.dtype, name="branch1")(x, train)
+        b2 = DilatedConvBnSiLU(hid, self.d[1], self.dtype, name="branch2")(x, train)
+        b3 = DilatedConvBnSiLU(hid, self.d[2], self.dtype, name="branch3")(x, train)
+        feats = [b0, b1, b2, b3]
+        if self.has_global:
+            feats.append(
+                GlobalBranch(hid, self.dtype, name="branch4")(x, x.shape[1:3], train)
+            )
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
+            jnp.concatenate(feats, axis=-1), train
+        )
+
+
+class ASPPs(nn.Module):
+    """ASPP variant with per-branch 1x1 input reduction (common.py:313-359)."""
+
+    c2: int
+    d: Tuple[int, int, int] = (3, 6, 9)
+    has_global: bool = True
+    map_reduce: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hid = x.shape[-1] // self.map_reduce
+        b0 = ConvBnAct(hid, 1, dtype=self.dtype, name="branch0_a")(x, train)
+        b0 = ConvBnAct(hid, 3, dtype=self.dtype, name="branch0_b")(b0, train)
+        outs = [b0]
+        for i, d in enumerate(self.d):
+            y = ConvBnAct(hid, 1, dtype=self.dtype, name=f"branch{i+1}_red")(x, train)
+            y = DilatedConvBnSiLU(hid, d, self.dtype, name=f"branch{i+1}")(y, train)
+            outs.append(y)
+        if self.has_global:
+            outs.append(
+                GlobalBranch(hid, self.dtype, name="branch4")(x, x.shape[1:3], train)
+            )
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
+            jnp.concatenate(outs, axis=-1), train
+        )
+
+
+class RFB2(nn.Module):
+    """Cascaded-dilation block used by SegMaskPSP/BiSe (common.py:504-545):
+    branch0 = 1x1+3x3; branch1 = dilated(d0) on branch0; branch2 = dilated(d1)
+    on branch1; branch3 = independent 1x1; optional global fed from branch2."""
+
+    c2: int
+    map_reduce: int = 4
+    d: Tuple[int, int] = (2, 3)
+    has_global: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = x.shape[-1] // self.map_reduce
+        x3 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch3")(x, train)
+        x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch0_a")(x, train)
+        x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, name="branch0_b")(x0, train)
+        x1 = DilatedConvBnSiLU(inter, self.d[0], self.dtype, name="branch1")(x0, train)
+        x2 = DilatedConvBnSiLU(inter, self.d[1], self.dtype, name="branch2")(x1, train)
+        feats = [x0, x1, x2, x3]
+        if self.has_global:
+            feats.append(
+                GlobalBranch(inter, self.dtype, name="branch4")(x2, x.shape[1:3], train)
+            )
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
+            jnp.concatenate(feats, axis=-1), train
+        )
+
+
+class RFB1(nn.Module):
+    """ASPP-like variant with 3x3/5x5 pre-convs (common.py:451-501)."""
+
+    c2: int
+    map_reduce: int = 4
+    d: Tuple[int, int, int] = (3, 5, 7)
+    has_global: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = x.shape[-1] // self.map_reduce
+        b0 = ConvBnAct(inter, 1, dtype=self.dtype, name="branch0_a")(x, train)
+        b0 = ConvBnAct(inter, 3, dtype=self.dtype, name="branch0_b")(b0, train)
+        outs = [b0]
+        pre_k = [3, 3, 5]
+        for i, d in enumerate(self.d):
+            y = ConvBnAct(inter, 1, dtype=self.dtype, name=f"branch{i+1}_red")(x, train)
+            y = ConvBnAct(inter, pre_k[i], dtype=self.dtype, name=f"branch{i+1}_pre")(
+                y, train
+            )
+            y = DilatedConvBnSiLU(inter, d, self.dtype, name=f"branch{i+1}")(y, train)
+            outs.append(y)
+        if self.has_global:
+            outs.append(
+                GlobalBranch(inter, self.dtype, name="branch4")(x, x.shape[1:3], train)
+            )
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="fusion")(
+            jnp.concatenate(outs, axis=-1), train
+        )
+
+
+class ACSP(nn.Module):
+    """RFB2 minus the independent 1x1 branch, global fed from the cascade tail
+    — the SegMaskPSP2 spatial path (common.py:548-585)."""
+
+    c2: int
+    map_reduce: int = 4
+    d: Tuple[int, int] = (2, 3)
+    has_global: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = x.shape[-1] // self.map_reduce
+        x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch0_a")(x, train)
+        x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, name="branch0_b")(x0, train)
+        x1 = DilatedConvBnSiLU(inter, self.d[0], self.dtype, name="branch1")(x0, train)
+        x2 = DilatedConvBnSiLU(inter, self.d[1], self.dtype, name="branch2")(x1, train)
+        feats = [x0, x1, x2]
+        if self.has_global:
+            feats.append(
+                GlobalBranch(inter, self.dtype, name="branch_global")(
+                    x2, x.shape[1:3], train
+                )
+            )
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
+            jnp.concatenate(feats, axis=-1), train
+        )
+
+
+class PyramidPooling(nn.Module):
+    """PSPNet pyramid pooling (common.py:588-615): adaptive-avg to k in
+    {1,2,3,6}, 1x1 conv to C/4 each, bilinear(align_corners=True) back, concat
+    (+input if short_cut). The k=1 conv's BN is statically skipped (quirk)."""
+
+    k: Tuple[int, ...] = (1, 2, 3, 6)
+    short_cut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1:3]
+        c_out = x.shape[-1] // 4
+        feats = [x] if self.short_cut else []
+        for i, k in enumerate(self.k):
+            y = adaptive_avg_pool(x, k)
+            y = ConvBnAct(c_out, 1, dtype=self.dtype, name=f"conv{i+1}")(y, train)
+            y = resize_bilinear(y, (h, w), align_corners=True)
+            feats.append(y)
+        return jnp.concatenate(feats, axis=-1)
+
+
+class DAPPM(nn.Module):
+    """DDRNet pyramid with pre-norm (BN-act-conv) blocks (common.py:362-447)."""
+
+    branch_planes: int
+    outplanes: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1:3]
+
+        def bn_act_conv(y, c, k, name):
+            y = BatchNorm(self.dtype, name=f"{name}_bn")(y, train)
+            y = silu(y)
+            return Conv2d(c, k, 1, dtype=self.dtype, name=f"{name}_conv")(y)
+
+        def avgpool(y, k, s):
+            p = k // 2
+            return jax.lax.reduce_window(
+                y, 0.0, jax.lax.add, (1, k, k, 1), (1, s, s, 1),
+                ((0, 0), (p, p), (p, p), (0, 0)),
+            ) / float(k * k)
+
+        bp = self.branch_planes
+        scales = [bn_act_conv(x, bp, 1, "scale0")]
+        for i, (k, s) in enumerate([(5, 2), (9, 4), (17, 8)], start=1):
+            y = avgpool(x, k, s)
+            scales.append(bn_act_conv(y, bp, 1, f"scale{i}"))
+        g = adaptive_avg_pool(x, 1)
+        scales.append(bn_act_conv(g, bp, 1, "scale4"))
+
+        outs = [scales[0]]
+        for i in range(1, 5):
+            up = resize_bilinear(scales[i], (h, w), align_corners=True)
+            outs.append(bn_act_conv(up + outs[i - 1], bp, 3, f"process{i}"))
+        cat = jnp.concatenate(outs, axis=-1)
+        comp = bn_act_conv(cat, self.outplanes, 1, "compression")
+        short = bn_act_conv(x, self.outplanes, 1, "shortcut")
+        return comp + short
+
+
+class ConvBNReLU(nn.Module):
+    """Conv+BN+ReLU6 helper (common.py:902-910)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = Conv2d(self.c2, self.k, self.s, self.p, self.g, dtype=self.dtype,
+                   name="conv")(x)
+        y = BatchNorm(self.dtype, name="bn")(y, train)
+        return jnp.minimum(jax.nn.relu(y), 6.0)
+
+
+class Classify(nn.Module):
+    """Classification head: global pool + 1x1 conv + flatten
+    (common.py:885-897)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        pooled = [adaptive_avg_pool(y, 1) for y in xs]
+        y = jnp.concatenate(pooled, axis=-1)
+        y = Conv2d(self.c2, self.k, self.s, groups=self.g, use_bias=True,
+                   dtype=self.dtype, name="conv")(y)
+        return y.reshape(y.shape[0], -1)
+
+
+class CrossConv(nn.Module):
+    """1xk then kx1 cross convolution with optional residual
+    (experimental.py:11-22)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        p1 = (0, self.k // 2)
+        p2 = (self.k // 2, 0)
+        y = nn.Conv(c_, (1, self.k), (1, self.s),
+                    padding=((p1[0], p1[0]), (p1[1], p1[1])), use_bias=False,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=torch_conv_kernel_init, name="cv1_conv")(x)
+        y = BatchNorm(self.dtype, name="cv1_bn")(y, train)
+        y = silu(y)
+        y = nn.Conv(self.c2, (self.k, 1), (self.s, 1),
+                    padding=((p2[0], p2[0]), (p2[1], p2[1])),
+                    feature_group_count=self.g, use_bias=False, dtype=self.dtype,
+                    param_dtype=jnp.float32, kernel_init=torch_conv_kernel_init,
+                    name="cv2_conv")(y)
+        y = BatchNorm(self.dtype, name="cv2_bn")(y, train)
+        y = silu(y)
+        if self.shortcut and x.shape[-1] == self.c2 and self.s == 1:
+            return x + y
+        return y
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel-size grouped conv (experimental.py:39-55)."""
+
+    c2: int
+    k: Tuple[int, ...] = (1, 3)
+    s: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.k)
+        # equal channel split (experimental.py equal_ch=True path)
+        idx = np.floor(np.linspace(0, n - 1e-6, self.c2)).astype(int)
+        ch = [int((idx == g).sum()) for g in range(n)]
+        outs = [
+            Conv2d(ch[g], self.k[g], self.s, use_bias=False, dtype=self.dtype,
+                   name=f"m_{g}")(x)
+            for g in range(n)
+        ]
+        y = jnp.concatenate(outs, axis=-1)
+        y = BatchNorm(self.dtype, name="bn")(y, train)
+        return silu(y)
