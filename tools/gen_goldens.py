@@ -160,6 +160,65 @@ def main():
         check=True,
     )
 
+    loss_path = "/tmp/golden_loss_runner.py"
+    with open(loss_path, "w") as fh:
+        fh.write(LOSS_RUNNER)
+    subprocess.run(
+        [
+            sys.executable,
+            loss_path,
+            os.path.join(CFG_DIR, "tiny_psp2.yaml"),
+            os.path.join(GOLDEN_DIR, "det_loss.npz"),
+        ],
+        cwd="/root/reference",
+        env=env,
+        check=True,
+    )
+
+
+LOSS_RUNNER = """\
+import logging, sys
+logging.disable(logging.CRITICAL)
+sys.path.insert(0, '.')
+import numpy as np
+import torch
+
+# Newer torch forbids clamping a long tensor with float bounds; the reference
+# (loss.py:218) relies on the old lenient behavior.
+_orig_clamp_ = torch.Tensor.clamp_
+def _patched_clamp_(self, min=None, max=None):
+    conv = lambda v: (v.to(self.dtype) if torch.is_tensor(v) else v)
+    return _orig_clamp_(self, conv(min), conv(max))
+torch.Tensor.clamp_ = _patched_clamp_
+
+from core.models.yolo import Model
+from core.utils.loss import ComputeLoss
+
+cfg, out_path = sys.argv[1], sys.argv[2]
+torch.manual_seed(3)
+m = Model(cfg)
+m.hyp = dict(box=0.05, cls=0.5, cls_pw=1.0, obj=0.7, obj_pw=1.0,
+             fl_gamma=0.0, anchor_t=4.0, label_smoothing=0.0)
+loss_fn = ComputeLoss(m)
+
+rng = np.random.default_rng(5)
+B, nc = 4, 3
+shapes = [(B, 3, 8, 8, nc + 5), (B, 3, 4, 4, nc + 5), (B, 3, 2, 2, nc + 5)]
+p = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+# 14 random targets spread over the batch: [img, cls, x, y, w, h]
+n = 14
+tg = np.zeros((n, 6), np.float32)
+tg[:, 0] = rng.integers(0, B, n)
+tg[:, 1] = rng.integers(0, nc, n)
+tg[:, 2:4] = rng.uniform(0.1, 0.9, (n, 2))
+tg[:, 4:6] = rng.uniform(0.05, 0.6, (n, 2))
+total, comps = loss_fn([torch.from_numpy(v) for v in p], torch.from_numpy(tg))
+anchors = loss_fn.anchors.numpy()
+np.savez(out_path, p0=p[0], p1=p[1], p2=p[2], targets=tg,
+         total=total.detach().numpy(), comps=comps.numpy(), anchors=anchors)
+print(out_path, 'total', float(total), 'comps', comps.numpy())
+"""
+
 
 if __name__ == "__main__":
     main()
