@@ -1,0 +1,72 @@
+"""Benchmark: joint (det+seg) batched inference throughput on one TPU chip.
+
+Measures the full production inference program — forward (bf16, NHWC) +
+Detect decode + fixed-shape NMS + seg argmax — at batch 32, 640x640, matching
+BASELINE.md's north-star config (>=2000 img/s/chip on v5e).
+
+Methodology notes (this environment):
+- inputs are generated on-device from per-iteration PRNG keys: the axon
+  tunnel replays identical (executable, args) pairs, so same-input timing
+  loops report fantasy numbers;
+- the timed region is an in-jit lax.scan chain of ITERS full inference steps
+  with a single host sync — per-call dispatch through the tunnel serializes
+  on a ~30-70 ms round-trip and would under-report the chip by ~2x.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 32
+SIZE = 640
+BASELINE_IMG_S = 2000.0  # BASELINE.md north-star target
+ITERS = 16
+
+
+def main():
+    from desenet_tpu.models import build_model, init_model, config_path
+    from desenet_tpu.ops import non_max_suppression
+
+    model, _ = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16)
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE, batch=1)
+
+    def infer_digest(variables, key):
+        x = jax.random.uniform(key, (BATCH, SIZE, SIZE, 3), jnp.bfloat16)
+        (dec, feats), seg = model.apply(variables, x, train=False)
+        nms = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
+                                  max_det=300, pre_topk=1024)
+        seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+        # scalar digest forces full materialization of every output
+        return (
+            nms.boxes.sum() + nms.scores.sum() + nms.num.sum().astype(jnp.float32)
+            + seg_cls.sum(dtype=jnp.int32).astype(jnp.float32)
+        )
+
+    @jax.jit
+    def chain(variables, key):
+        def body(carry, k):
+            return carry + infer_digest(variables, k), None
+
+        out, _ = jax.lax.scan(body, 0.0, jax.random.split(key, ITERS))
+        return out
+
+    float(chain(variables, jax.random.PRNGKey(3)))  # compile + warm
+    t0 = time.perf_counter()
+    float(chain(variables, jax.random.PRNGKey(7)))
+    dt = (time.perf_counter() - t0) / ITERS
+
+    img_s = BATCH / dt
+    print(json.dumps({
+        "metric": "joint_det_seg_inference_throughput_b32_640",
+        "value": round(img_s, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""The jitted joint train step.
+
+One XLA program covering: forward (train mode, BN batch stats over the global
+sharded batch == SyncBN semantics for free), combined multi-task loss
+(det_gain * ComputeLoss * bs + seg_gain * CE — single backward, replacing the
+reference's dual backward with retain_graph, train.py:362-367), gradient
+accumulation with the warmup-interpolated `accumulate` trigger
+(train.py:146-147, 332-340, 370-376), 3-group SGD/Adam update, and EMA.
+
+The loss-scale convention follows the single-process reference exactly; under
+data parallelism the global-batch formulation makes gradients identical to
+the reference's loss*WORLD_SIZE + DDP-mean pattern (SURVEY §2.9). One quirk
+NOT replicated: with W GPUs the reference effectively multiplies the seg loss
+by W (train.py:356-358 applies *WORLD_SIZE to a batch-size-independent mean);
+we keep seg_gain * mean regardless of device count. Set seg_gain=W to
+reproduce it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from desenet_tpu.losses import DetectionLoss, segmentation_loss
+from desenet_tpu.train import optim as O
+from desenet_tpu.train.ema import ema_update
+from desenet_tpu.train.schedule import warmup_interp
+from desenet_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model,
+    det_loss_fn: DetectionLoss,
+    opt_cfg: O.OptimConfig,
+    lf: Callable,  # epoch -> lr scale (one_cycle / linear)
+    nb: int,  # batches per epoch
+    warmup_iters: int,  # nw = max(3 epochs * nb, 1000) (train.py:287)
+    nominal_bs: int = 64,
+    batch_size: int = 16,
+    det_gain: float = 0.14,
+    seg_gain: float = 1.0,
+    seg_aux_weight: float = 0.1,
+    ema_base: float = 0.9999,
+    ema_tau: float = 2000.0,
+    donate: bool = True,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch: dict with
+      image      (B, H, W, 3) float in [0,1] or uint8
+      det_targets(B, M, 5), det_mask (B, M)
+      seg_labels (B, H, W) int32
+    """
+    accum_target = nominal_bs / batch_size
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
+        ni = state.step
+        imgs = batch["image"]
+        if imgs.dtype == jnp.uint8:
+            imgs = imgs.astype(model.dtype) / 255.0
+        else:
+            imgs = imgs.astype(model.dtype)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            det_feats, seg_out = out
+            det_total, comps = det_loss_fn(
+                det_feats, batch["det_targets"], batch["det_mask"]
+            )
+            seg_l = segmentation_loss(
+                seg_out, batch["seg_labels"], aux_weight=seg_aux_weight
+            )
+            total = det_gain * det_total + seg_gain * seg_l
+            return total, (comps, seg_l, mut["batch_stats"])
+
+        (loss, (comps, seg_l, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        accum = jax.tree.map(lambda a, g: a + g.astype(a.dtype),
+                             state.accum_grads, grads)
+
+        # warmup-interpolated accumulation count (train.py:334)
+        accumulate = jnp.maximum(
+            jnp.round(warmup_interp(ni.astype(jnp.float32),
+                                    float(warmup_iters), 1.0, accum_target)),
+            1.0,
+        ).astype(jnp.int32)
+        do_step = (ni - state.last_opt_step) >= accumulate
+
+        epoch = (ni // nb).astype(jnp.float32)
+        lr_scale = lf(epoch)
+        warmup_t = jnp.clip(
+            ni.astype(jnp.float32) / max(float(warmup_iters), 1.0), 0.0, 1.0
+        )
+
+        def apply_step(_):
+            new_params, new_opt = O.apply_updates(
+                state.params, accum, state.opt_state, state.groups, opt_cfg,
+                lr_scale, warmup_t,
+            )
+            updates = state.ema_updates + 1
+            ema_p = ema_update(state.ema_params, new_params, updates,
+                               ema_base, ema_tau)
+            ema_b = ema_update(state.ema_batch_stats, new_bs, updates,
+                               ema_base, ema_tau)
+            zero = jax.tree.map(jnp.zeros_like, accum)
+            return new_params, new_opt, zero, ema_p, ema_b, updates, ni
+
+        def skip_step(_):
+            return (state.params, state.opt_state, accum, state.ema_params,
+                    state.ema_batch_stats, state.ema_updates,
+                    state.last_opt_step)
+
+        (params, opt_state, accum_out, ema_p, ema_b, ema_updates,
+         last_opt) = jax.lax.cond(do_step, apply_step, skip_step, None)
+
+        new_state = state.replace(
+            params=params,
+            batch_stats=new_bs,
+            opt_state=opt_state,
+            accum_grads=accum_out,
+            ema_params=ema_p,
+            ema_batch_stats=ema_b,
+            ema_updates=ema_updates,
+            step=ni + 1,
+            last_opt_step=last_opt,
+        )
+        metrics = {
+            "loss": loss,
+            "lbox": comps[0],
+            "lobj": comps[1],
+            "lcls": comps[2],
+            "lseg": seg_l,
+            "lr": opt_cfg.lr0 * lr_scale * warmup_t,
+            "stepped": do_step.astype(jnp.int32),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
