@@ -1,0 +1,459 @@
+"""The joint detection+segmentation dataset ("mixed" pipeline).
+
+Capability parity with the reference LoadImagesAndLabels
+(core/utils/mixed_datasets.py:339-620): directory/txt listing, sibling
+`DeLabels/` + `SeLabels/` label dirs (:325-336), per-sample validation
+(:921-973), label cache with content hashing (:37-49, 451-484), mosaic /
+letterbox / HSV / perspective / flip augmentation, rect mode with
+aspect-sorted per-batch shapes (:421-447), and COCO-rescaling `shapes`
+metadata.
+
+TPU-first redesign:
+- deterministic: every sample's augmentation RNG is seeded by
+  (base_seed, epoch, index) — replaces global `random` state;
+- fixed-shape batches: the collate step pads det targets to a static
+  (B, max_targets, 5) + mask and stacks seg masks, so the train step jits
+  once per image size;
+- no torch: cache is a plain pickle; images decode via PIL/cv2;
+- samplers are index math (distributed sharding = rank strided slice), not a
+  DataLoader class hierarchy.
+
+Label formats (identical to the reference):
+  DeLabels/<split>/x.txt : lines "cls x y w h" normalized xywh
+  SeLabels/<split>/x.txt : lines "cls x1 y1 x2 y2 ..." normalized polygon
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+from multiprocessing.pool import ThreadPool
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+from PIL import Image, ImageOps
+
+from desenet_tpu.data.augment import (
+    augment_hsv,
+    denorm_boxes,
+    denorm_polys,
+    flip_lr,
+    flip_ud,
+    letterbox,
+    random_perspective,
+    PAD_VALUE,
+)
+from desenet_tpu.data.rasterize import rasterize_polygons
+
+LOGGER = logging.getLogger(__name__)
+
+IMG_FORMATS = {"bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo"}
+CACHE_VERSION = 1
+NUM_THREADS = min(8, os.cpu_count() or 1)
+
+
+def img2label_paths(img_paths: Sequence[str]) -> Tuple[List[str], List[str]]:
+    """image path -> (DeLabels, SeLabels) txt paths (mixed_datasets.py:325)."""
+    de, se = [], []
+    for x in img_paths:
+        p = Path(x)
+        name = p.with_suffix(".txt").name
+        de.append(str(p.parent.parent.with_name("DeLabels") / p.parent.name / name))
+        se.append(str(p.parent.parent.with_name("SeLabels") / p.parent.name / name))
+    return de, se
+
+
+def get_hash(paths: Sequence[str]) -> str:
+    """Content hash over file sizes + joined names (mixed_datasets.py:37-49)."""
+    size = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    h = hashlib.md5(str(size).encode())
+    h.update("".join(paths).encode())
+    return h.hexdigest()
+
+
+def exif_size(img: Image.Image) -> Tuple[int, int]:
+    """(w, h) corrected for EXIF rotation."""
+    s = img.size
+    try:
+        rot = dict(img.getexif()).get(274, None)
+        if rot in (6, 8):
+            s = (s[1], s[0])
+    except Exception:
+        pass
+    return s
+
+
+def verify_image_label(args):
+    """Validate one (image, det txt, seg txt) triple; returns parsed labels
+    or None on corruption (mixed_datasets.py:921-973 semantics)."""
+    im_file, dlb, slb = args
+    try:
+        with Image.open(im_file) as im:
+            im.verify()
+            shape = exif_size(im)
+            fmt = (im.format or "").lower()
+            assert fmt in IMG_FORMATS, f"unsupported format {fmt}"
+            assert shape[0] > 9 and shape[1] > 9, f"image too small {shape}"
+
+        det = np.zeros((0, 5), np.float32)
+        nm = nf = ne = 0
+        if os.path.isfile(dlb):
+            nf = 1
+            with open(dlb) as f:
+                rows = [x.split() for x in f.read().strip().splitlines() if x]
+            if rows:
+                det = np.asarray(rows, np.float32)
+                assert det.shape[1] == 5, "det rows must have 5 values"
+                assert (det >= 0).all(), "negative det values"
+                assert (det[:, 1:] <= 1).all(), "det coords not normalized"
+                assert np.unique(det, axis=0).shape[0] == det.shape[0], \
+                    "duplicate det rows"
+            else:
+                ne = 1
+        else:
+            nm = 1
+
+        seg: List[Tuple[int, np.ndarray]] = []
+        if os.path.isfile(slb):
+            with open(slb) as f:
+                for line in f.read().strip().splitlines():
+                    vals = np.asarray(line.split(), np.float32)
+                    assert (vals >= 0).all(), "negative seg values"
+                    assert (vals[1:] <= 1).all(), "seg coords not normalized"
+                    seg.append((int(vals[0]), vals[1:].reshape(-1, 2)))
+        return im_file, det, seg, shape, nm, nf, ne, 0, ""
+    except Exception as e:  # noqa: BLE001 — corrupt samples are skipped
+        return None, None, None, None, 0, 0, 0, 1, f"skipping {im_file}: {e}"
+
+
+class MixedDataset:
+    def __init__(
+        self,
+        path,
+        img_size: int = 640,
+        batch_size: int = 16,
+        augment: bool = False,
+        hyp: Optional[Dict] = None,
+        rect: bool = False,
+        stride: int = 32,
+        pad: float = 0.0,
+        single_cls: bool = False,
+        max_targets: int = 128,
+        seed: int = 0,
+        prefix: str = "",
+    ):
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.augment = augment
+        self.hyp = dict(hyp or {})
+        self.rect = rect
+        self.mosaic = augment and not rect and self.hyp.get("mosaic", 0) > 0
+        self.mosaic_border = (-img_size // 2, -img_size // 2)
+        self.stride = stride
+        self.pad = pad
+        self.max_targets = max_targets
+        self.seed = seed
+        self.epoch = 0
+
+        # ---- file listing (dir / txt / list of either) ----
+        files: List[Path] = []
+        for p in path if isinstance(path, (list, tuple)) else [path]:
+            p = Path(p)
+            if p.is_dir():
+                files += list(p.rglob("**/*.*"))
+            elif p.is_file():
+                with p.open() as t:
+                    files += [
+                        p.parent / x.lstrip(os.sep)
+                        for x in t.read().strip().splitlines()
+                    ]
+            else:
+                raise FileNotFoundError(f"{prefix}{p} does not exist")
+        self.img_files = sorted(
+            str(x) for x in files if x.suffix[1:].lower() in IMG_FORMATS
+        )
+        assert self.img_files, f"{prefix}no images found in {path}"
+        self.de_label_files, self.se_label_files = img2label_paths(self.img_files)
+
+        # ---- label cache ----
+        cache_path = Path(self.de_label_files[0]).parent.with_suffix(".cache.pkl")
+        cache = None
+        want_hash = get_hash(
+            self.de_label_files + self.se_label_files + self.img_files
+        )
+        if cache_path.is_file():
+            try:
+                with open(cache_path, "rb") as f:
+                    cache = pickle.load(f)
+                if cache.get("hash") != want_hash or cache.get("version") != \
+                        CACHE_VERSION:
+                    cache = None
+            except Exception:
+                cache = None
+        if cache is None:
+            cache = self._build_cache(want_hash)
+            try:
+                cache_path.parent.mkdir(parents=True, exist_ok=True)
+                with open(cache_path, "wb") as f:
+                    pickle.dump(cache, f)
+            except OSError as e:
+                LOGGER.warning("%scache dir not writable: %s", prefix, e)
+
+        items = cache["items"]  # list of (im_file, shape(w,h), det, seg)
+        assert items or not augment, f"{prefix}no labels in {path}, cannot train"
+        self.img_files = [it[0] for it in items]
+        self.shapes = np.asarray([it[1] for it in items], np.float32)  # (w, h)
+        self.det_labels = [it[2] for it in items]
+        self.seg_labels = [it[3] for it in items]
+        self.de_label_files, self.se_label_files = img2label_paths(self.img_files)
+        if single_cls:
+            for d in self.det_labels:
+                if len(d):
+                    d[:, 0] = 0
+            self.seg_labels = [[(0, p) for _, p in s] for s in self.seg_labels]
+        self.n = len(self.img_files)
+        self.indices = np.arange(self.n)
+
+        if self.rect:
+            self._setup_rect()
+
+    # ------------------------------------------------------------------
+    def _build_cache(self, want_hash):
+        items = []
+        stats = dict(found=0, missing=0, empty=0, corrupt=0)
+        msgs = []
+        with ThreadPool(NUM_THREADS) as pool:
+            results = pool.map(
+                verify_image_label,
+                zip(self.img_files, self.de_label_files, self.se_label_files),
+            )
+        for im_file, det, seg, shape, nm, nf, ne, nc, msg in results:
+            stats["missing"] += nm
+            stats["found"] += nf
+            stats["empty"] += ne
+            stats["corrupt"] += nc
+            if msg:
+                msgs.append(msg)
+            if im_file is not None and (len(det) or len(seg)):
+                items.append((im_file, shape, det, seg))
+        for m in msgs:
+            LOGGER.warning(m)
+        LOGGER.info(
+            "scanned %d images: %d det labels found, %d missing, %d empty, "
+            "%d corrupt; %d usable",
+            len(self.img_files), stats["found"], stats["missing"],
+            stats["empty"], stats["corrupt"], len(items),
+        )
+        return {"hash": want_hash, "version": CACHE_VERSION, "items": items,
+                "stats": stats}
+
+    def _setup_rect(self):
+        """Aspect-ratio-sorted per-batch shapes (mixed_datasets.py:421-447)."""
+        ar = self.shapes[:, 1] / self.shapes[:, 0]  # h / w
+        order = ar.argsort()
+        self.indices = order
+        bi = np.floor(np.arange(self.n) / self.batch_size).astype(int)
+        nb = bi[-1] + 1
+        ar_sorted = ar[order]
+        shapes = []
+        for i in range(nb):
+            ari = ar_sorted[bi == i]
+            mini, maxi = ari.min(), ari.max()
+            if maxi < 1:
+                shapes.append([maxi, 1])
+            elif mini > 1:
+                shapes.append([1, 1 / mini])
+            else:
+                shapes.append([1, 1])
+        self.batch_index = bi
+        self.batch_shapes = (
+            np.ceil(np.asarray(shapes) * self.img_size / self.stride + self.pad)
+            .astype(int) * self.stride
+        )
+
+    # ------------------------------------------------------------------
+    def __len__(self):
+        return self.n
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def sample_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, int(index)])
+        )
+
+    def load_image(self, index: int):
+        """Decode + EXIF-correct + resize long side to img_size
+        (mixed_datasets.py:624-640). Returns BGR uint8."""
+        path = self.img_files[index]
+        img = Image.open(path)
+        img = ImageOps.exif_transpose(img)
+        w0, h0 = img.size
+        r = self.img_size / max(w0, h0)
+        if r != 1:
+            img = img.resize(
+                (int(w0 * r), int(h0 * r)),
+                Image.LANCZOS if r < 1 else Image.BILINEAR,
+            )
+        arr = cv2.cvtColor(np.asarray(img.convert("RGB")), cv2.COLOR_RGB2BGR)
+        return arr, (h0, w0), arr.shape[:2]
+
+    # ------------------------------------------------------------------
+    def get_sample(self, pos: int):
+        """One augmented sample at dataset position `pos`:
+        (img RGB uint8 HWC, det (n,5) [cls,xywhn], seg_mask (H,W) int32,
+        path, shapes)."""
+        index = int(self.indices[pos])
+        rng = self.sample_rng(index)
+        hyp = self.hyp
+
+        if self.mosaic and rng.random() < hyp.get("mosaic", 0.0):
+            img, det, seg = self._load_mosaic(index, rng)
+            shapes = None
+            do_persp = False  # mosaic already applied random_perspective
+        else:
+            img, (h0, w0), (h, w) = self.load_image(index)
+            shape = (
+                self.batch_shapes[self.batch_index[pos]]
+                if self.rect
+                else self.img_size
+            )
+            img, ratio, pad = letterbox(img, shape, auto=False,
+                                        scaleup=self.augment)
+            shapes = (h0, w0), ((h / h0, w / w0), pad)
+            det = self.det_labels[index].copy()
+            seg = [(c, p.copy()) for c, p in self.seg_labels[index]]
+            if len(det):
+                det = det.copy()
+                det[:, 1:] = denorm_boxes(det[:, 1:], ratio[0] * w,
+                                          ratio[1] * h, pad[0], pad[1])
+            seg = denorm_polys(seg, ratio[0] * w, ratio[1] * h, pad[0], pad[1])
+            do_persp = self.augment
+
+        if do_persp:
+            img, det, seg = random_perspective(
+                img, det, seg, rng,
+                degrees=hyp.get("degrees", 0.0),
+                translate=hyp.get("translate", 0.0),
+                scale=hyp.get("scale", 0.0),
+                shear=hyp.get("shear", 0.0),
+                perspective=hyp.get("perspective", 0.0),
+            )
+        if self.augment:
+            img = np.ascontiguousarray(img)
+            augment_hsv(img, rng, hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
+                        hyp.get("hsv_v", 0))
+
+        # pixel xyxy -> normalized xywh
+        if len(det):
+            xyxy = det[:, 1:5]
+            out = np.empty_like(xyxy)
+            out[:, 0] = (xyxy[:, 0] + xyxy[:, 2]) / 2 / img.shape[1]
+            out[:, 1] = (xyxy[:, 1] + xyxy[:, 3]) / 2 / img.shape[0]
+            out[:, 2] = (xyxy[:, 2] - xyxy[:, 0]) / img.shape[1]
+            out[:, 3] = (xyxy[:, 3] - xyxy[:, 1]) / img.shape[0]
+            det[:, 1:5] = out
+
+        if self.augment:
+            if rng.random() < hyp.get("flipud", 0.0):
+                img, det, seg = flip_ud(img, det, seg)
+            if rng.random() < hyp.get("fliplr", 0.0):
+                img, det, seg = flip_lr(img, det, seg)
+
+        seg_mask = rasterize_polygons(seg, img.shape[:2])
+        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+        return img, det.astype(np.float32), seg_mask, self.img_files[index], shapes
+
+    def _load_mosaic(self, index: int, rng: np.random.Generator):
+        """4-image mosaic on a 2s x 2s canvas (mixed_datasets.py:657-719)."""
+        s = self.img_size
+        yc = int(rng.uniform(-self.mosaic_border[0], 2 * s + self.mosaic_border[0]))
+        xc = int(rng.uniform(-self.mosaic_border[1], 2 * s + self.mosaic_border[1]))
+        idxs = [index] + list(rng.choice(self.n, 3))
+        rng.shuffle(idxs)
+        canvas = np.full((s * 2, s * 2, 3), PAD_VALUE, np.uint8)
+        det4, seg4 = [], []
+        for i, idx in enumerate(idxs):
+            img, _, (h, w) = self.load_image(int(idx))
+            if i == 0:  # top-left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b = w - (x2a - x1a), h - (y2a - y1a)
+                x2b, y2b = w, h
+            elif i == 1:  # top-right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b = 0, h - (y2a - y1a)
+                x2b, y2b = min(w, x2a - x1a), h
+            elif i == 2:  # bottom-left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b = w - (x2a - x1a), 0
+                x2b, y2b = w, min(y2a - y1a, h)
+            else:  # bottom-right
+                x1a, y1a = xc, yc
+                x2a, y2a = min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b = 0, 0
+                x2b, y2b = min(w, x2a - x1a), min(y2a - y1a, h)
+            canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+
+            det = self.det_labels[int(idx)].copy()
+            if len(det):
+                det[:, 1:] = denorm_boxes(det[:, 1:], w, h, padw, padh)
+            det4.append(det)
+            seg4.append(denorm_polys(
+                [(c, p.copy()) for c, p in self.seg_labels[int(idx)]],
+                w, h, padw, padh,
+            ))
+
+        det4 = np.concatenate(det4, 0) if det4 else np.zeros((0, 5), np.float32)
+        if len(det4):
+            det4[:, 1:] = det4[:, 1:].clip(0, 2 * s)
+        seg_all = [
+            (c, p.clip(0, 2 * s)) for part in seg4 for c, p in part
+        ]
+        img4, det4, seg_all = random_perspective(
+            canvas, det4, seg_all, rng,
+            degrees=self.hyp.get("degrees", 0.0),
+            translate=self.hyp.get("translate", 0.0),
+            scale=self.hyp.get("scale", 0.0),
+            shear=self.hyp.get("shear", 0.0),
+            perspective=self.hyp.get("perspective", 0.0),
+            border=self.mosaic_border,
+        )
+        return img4, det4, seg_all
+
+
+def pad_det_targets(dets: Sequence[np.ndarray], max_targets: int):
+    """List of per-image (n,5) [cls,xywhn] -> (B, M, 5) + (B, M) mask.
+    Overflow beyond max_targets is dropped with a warning."""
+    b = len(dets)
+    out = np.zeros((b, max_targets, 5), np.float32)
+    mask = np.zeros((b, max_targets), bool)
+    for i, d in enumerate(dets):
+        n = len(d)
+        if n > max_targets:
+            LOGGER.warning("image has %d targets, truncating to %d", n,
+                           max_targets)
+            d = d[:max_targets]
+            n = max_targets
+        out[i, :n] = d
+        mask[i, :n] = True
+    return out, mask
+
+
+def collate(samples, max_targets: int = 128):
+    """Samples -> fixed-shape batch dict for the jitted train/eval step."""
+    imgs, dets, segs, paths, shapes = zip(*samples)
+    det_t, det_m = pad_det_targets(dets, max_targets)
+    return {
+        "image": np.stack(imgs, 0),
+        "det_targets": det_t,
+        "det_mask": det_m,
+        "seg_labels": np.stack(segs, 0).astype(np.int32),
+        "paths": list(paths),
+        "shapes": list(shapes),
+    }

@@ -1,0 +1,28 @@
+"""Polygon -> class-id mask rasterization.
+
+Parity with the reference's PIL ImageDraw.polygon fill (general.py:490-510):
+later polygons overwrite earlier ones; polygons with < 3 points are ignored;
+outline included (outline=1, fill=1).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+
+def rasterize_polygons(
+    seg: Sequence[Tuple[int, np.ndarray]], hw: Tuple[int, int]
+) -> np.ndarray:
+    """seg: list of (cls_id, (k,2) pixel polygon). Returns (H, W) int32."""
+    cls = np.zeros(hw, dtype=np.int32)
+    for cls_id, pts in seg:
+        if len(pts) <= 2:
+            continue
+        mask = Image.new("L", (hw[1], hw[0]), 0)
+        draw = ImageDraw.Draw(mask)
+        draw.polygon([tuple(p) for p in pts], outline=1, fill=1)
+        cls[np.asarray(mask, dtype=bool)] = int(cls_id)
+    return cls

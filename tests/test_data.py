@@ -1,0 +1,129 @@
+"""Data pipeline: listing/caching/augmentation/collate on a synthetic dataset."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+from make_fake_dataset import generate  # noqa: E402
+
+from desenet_tpu.data import MixedDataset, create_mixed_dataloader
+from desenet_tpu.data.augment import letterbox
+from desenet_tpu.data.rasterize import rasterize_polygons
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fakedata")
+    generate(str(root), n_train=12, n_val=6, size=160, seed=1)
+    return str(root)
+
+
+def test_letterbox_geometry(rng):
+    img = rng.integers(0, 255, (96, 160, 3), dtype=np.uint8)
+    out, ratio, (dw, dh) = letterbox(img, 160, auto=False)
+    assert out.shape == (160, 160, 3)
+    assert ratio == (1.0, 1.0)
+    assert dw == 0 and dh == 32
+    assert (out[:31] == 114).all() and (out[-31:] == 114).all()
+
+
+def test_rasterize_overwrite_order():
+    tri1 = (1, np.array([[1, 1], [30, 1], [30, 30]], np.float32))
+    tri2 = (2, np.array([[1, 1], [30, 1], [1, 30]], np.float32))
+    m = rasterize_polygons([tri1, tri2], (32, 32))
+    assert set(np.unique(m)) <= {0, 1, 2}
+    assert (m == 2).sum() > 0 and (m == 1).sum() > 0
+    # later polygon wins on the overlap diagonal
+    assert m[1, 15] == 2
+
+
+def test_dataset_basic(fake_root):
+    ds = MixedDataset(os.path.join(fake_root, "Images", "train"),
+                      img_size=160, batch_size=4)
+    assert len(ds) == 12
+    img, det, seg, path, shapes = ds.get_sample(0)
+    assert img.shape == (160, 160, 3) and img.dtype == np.uint8
+    assert det.ndim == 2 and det.shape[1] == 5
+    assert ((det[:, 1:] >= 0) & (det[:, 1:] <= 1)).all()
+    assert seg.shape == (160, 160)
+    assert set(np.unique(seg)) <= {0, 1, 2}
+    # cache file created and reused
+    ds2 = MixedDataset(os.path.join(fake_root, "Images", "train"),
+                       img_size=160, batch_size=4)
+    assert ds2.img_files == ds.img_files
+
+
+def test_dataset_determinism(fake_root):
+    hyp = dict(mosaic=1.0, degrees=5, translate=0.1, scale=0.2, shear=2,
+               perspective=0.0, hsv_h=0.05, hsv_s=0.2, hsv_v=0.1,
+               flipud=0.2, fliplr=0.5)
+    ds = MixedDataset(os.path.join(fake_root, "Images", "train"),
+                      img_size=160, batch_size=4, augment=True, hyp=hyp, seed=3)
+    ds.set_epoch(2)
+    a = ds.get_sample(1)
+    b = ds.get_sample(1)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[2], b[2])
+    ds.set_epoch(3)
+    c = ds.get_sample(1)
+    assert not np.array_equal(a[0], c[0])  # different epoch -> different aug
+
+
+def test_mosaic_sample(fake_root):
+    hyp = dict(mosaic=1.0, degrees=0, translate=0.1, scale=0.2, shear=0,
+               perspective=0.0)
+    ds = MixedDataset(os.path.join(fake_root, "Images", "train"),
+                      img_size=160, batch_size=4, augment=True, hyp=hyp)
+    img, det, seg, path, shapes = ds.get_sample(0)
+    # 2s x 2s canvas cropped back to s x s by random_perspective's border
+    assert img.shape == (160, 160, 3)
+    assert seg.shape == (160, 160)
+    assert shapes is None
+    if len(det):
+        assert ((det[:, 1:] >= 0) & (det[:, 1:] <= 1)).all()
+
+
+def test_loader_batches(fake_root):
+    hyp = dict(mosaic=0.0)
+    loader, ds = create_mixed_dataloader(
+        os.path.join(fake_root, "Images", "train"), img_size=160,
+        batch_size=4, augment=True, hyp=hyp, workers=2, max_targets=16,
+    )
+    batches = list(loader)
+    assert len(batches) == 3  # 12 / 4, drop_last
+    b = batches[0]
+    assert b["image"].shape == (4, 160, 160, 3)
+    assert b["det_targets"].shape == (4, 16, 5)
+    assert b["det_mask"].shape == (4, 16)
+    assert b["seg_labels"].shape == (4, 160, 160)
+    assert b["det_mask"].sum() > 0
+    # only valid rows are nonzero
+    assert (b["det_targets"][~b["det_mask"]] == 0).all()
+
+
+def test_loader_distributed_shard(fake_root):
+    loader0, _ = create_mixed_dataloader(
+        os.path.join(fake_root, "Images", "train"), img_size=160,
+        batch_size=2, augment=False, rank=0, world_size=2, shuffle=False,
+    )
+    loader1, _ = create_mixed_dataloader(
+        os.path.join(fake_root, "Images", "train"), img_size=160,
+        batch_size=2, augment=False, rank=1, world_size=2, shuffle=False,
+    )
+    p0 = [p for b in loader0 for p in b["paths"]]
+    p1 = [p for b in loader1 for p in b["paths"]]
+    assert not set(p0) & set(p1)
+    assert len(p0) + len(p1) == 12
+
+
+def test_rect_mode(fake_root):
+    ds = MixedDataset(os.path.join(fake_root, "Images", "val"),
+                      img_size=160, batch_size=4, rect=True, pad=0.5)
+    img, det, seg, path, shapes = ds.get_sample(0)
+    h, w = img.shape[:2]
+    assert h % 32 == 0 and w % 32 == 0
+    assert shapes is not None
