@@ -1,0 +1,75 @@
+"""Training CLI — reference scripts/train.py equivalent.
+
+    python -m desenet_tpu.cli.train --data data.yaml --cfg yolov5s_seg \
+        --epochs 100 --batch-size 16 --img-size 640
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from desenet_tpu.train.engine import TrainConfig, train
+from desenet_tpu.utils.general import set_logging
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser("desenet_tpu train")
+    p.add_argument("--data", type=str, required=True, help="dataset yaml")
+    p.add_argument("--cfg", type=str, default="yolov5s_seg",
+                   help="model config name or path")
+    p.add_argument("--hyp", type=str, default=None, help="hyp yaml")
+    p.add_argument("--weights", type=str, default="",
+                   help="pretrain checkpoint dir")
+    p.add_argument("--resume", type=str, default="",
+                   help="checkpoint dir to resume")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", "--imgsz", type=int, default=640)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--project", type=str, default="runs/train")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--patience", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-targets", type=int, default=128)
+    p.add_argument("--noval", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--save-period", type=int, default=-1)
+    p.add_argument("--det-gain", type=float, default=0.14,
+                   help="detection loss gain (train.py:285)")
+    p.add_argument("--seg-gain", type=float, default=1.0)
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--no-tb", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    set_logging()
+    o = parse_opt(argv)
+    cfg = TrainConfig(
+        data=o.data, cfg=o.cfg, hyp=o.hyp, weights=o.weights, resume=o.resume,
+        epochs=o.epochs, batch_size=o.batch_size, imgsz=o.img_size,
+        workers=o.workers, project=o.project, name=o.name,
+        exist_ok=o.exist_ok, single_cls=o.single_cls, adam=o.adam,
+        linear_lr=o.linear_lr, label_smoothing=o.label_smoothing,
+        patience=o.patience, seed=o.seed, max_targets=o.max_targets,
+        noval=o.noval, nosave=o.nosave, save_period=o.save_period,
+        det_gain=o.det_gain, seg_gain=o.seg_gain, dtype=o.dtype,
+        n_devices=o.n_devices, use_tb=not o.no_tb,
+    )
+    results = train(cfg)
+    print(
+        f"done: save_dir={results['save_dir']} "
+        f"best_fitness={results['best_fitness']:.4f}"
+    )
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Validation CLI — reference scripts/val.py equivalent.
+
+    python -m desenet_tpu.cli.val --data data.yaml --weights runs/train/exp/best
+
+Tasks: val/test (metrics), speed (latency sweep), study (size sweep) —
+mirroring val.py:384-402.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desenet_tpu.data import create_mixed_dataloader
+from desenet_tpu.eval.validator import Validator
+from desenet_tpu.models import build_model, config_path
+from desenet_tpu.utils.checkpoint import load_inference_variables
+from desenet_tpu.utils.general import check_dataset, check_img_size, set_logging
+
+
+def run(
+    data,
+    weights,
+    batch_size=32,
+    imgsz=640,
+    conf_thres=0.001,
+    iou_thres=0.6,
+    task="val",
+    single_cls=False,
+    verbose=False,
+    half=True,
+    plots=False,
+    save_dir="",
+    workers=8,
+):
+    data = check_dataset(data)
+    variables, meta = load_inference_variables(weights)
+    assert meta is not None, "checkpoint missing meta.json"
+    dtype = jnp.bfloat16 if half else jnp.float32
+    model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
+                              se_nc=meta["se_nc"], dtype=dtype)
+    imgsz = check_img_size(imgsz, s=max(spec.det_strides))
+
+    nc = 1 if single_cls else int(data["de"]["nc"])
+    se_nc = int(data["se"]["nc"])
+    names = {i: n for i, n in enumerate(meta.get("de_names", map(str, range(nc))))}
+
+    task = task if task in ("train", "val", "test") else "val"
+    loader, _ = create_mixed_dataloader(
+        data[task], img_size=imgsz, batch_size=batch_size, augment=False,
+        rect=True, pad=0.5, stride=max(spec.det_strides),
+        single_cls=single_cls, workers=workers,
+    )
+    validator = Validator(
+        model, nc=nc, se_nc=se_nc, conf_thres=conf_thres,
+        iou_thres=iou_thres, single_cls=single_cls, plots=plots,
+        save_dir=save_dir, names=names,
+    )
+    results = validator.run(variables, loader)
+
+    pf = "%20s" + "%11i" * 1 + "%11.3g" * 6
+    print(("%20s" + "%11s" * 7) % ("Class", "Images", "P", "R", "mAP@.5",
+                                   "mAP@.5:.95", "mIoU", "pixAcc"))
+    print(pf % ("all", results["seen"], results["mp"], results["mr"],
+                results["map50"], results["map"], results["miou"],
+                results["pix_acc"]))
+    if verbose:
+        for c, m in results["per_class"].items():
+            print(f"{names.get(c, c):>20} {m['p']:.3f} {m['r']:.3f} "
+                  f"{m['ap50']:.3f} {m['ap']:.3f}")
+    sp = results["speed_ms"]
+    print(f"Speed: {sp[0]:.1f}ms host-stage, {sp[1]:.1f}ms device "
+          f"(fwd+decode+NMS), {sp[2]:.1f}ms metrics per image")
+    return results
+
+
+def run_speed(data, weights, batch_size=32, imgsz=640, half=True):
+    """--task speed: steady-state device latency at the val shape."""
+    variables, meta = load_inference_variables(weights)
+    dtype = jnp.bfloat16 if half else jnp.float32
+    model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
+                              se_nc=meta["se_nc"], dtype=dtype)
+    from desenet_tpu.ops import non_max_suppression
+
+    @jax.jit
+    def step(variables, key):
+        x = jax.random.uniform(key, (batch_size, imgsz, imgsz, 3), dtype)
+        (dec, _), seg = model.apply(variables, x, train=False)
+        nms = non_max_suppression(dec, 0.001, 0.6, multi_label=True)
+        return nms.num.sum() + jnp.argmax(seg, -1).sum(dtype=jnp.int32)
+
+    k = jax.random.PRNGKey(0)
+    step(variables, k).block_until_ready()
+    t0 = time.perf_counter()
+    n = 8
+    outs = [step(variables, kk) for kk in jax.random.split(k, n)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / n / batch_size * 1e3
+    print(f"{dt:.2f} ms/image at batch {batch_size}, {imgsz}px")
+    return dt
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser("desenet_tpu val")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--weights", type=str, required=True,
+                   help="checkpoint dir")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--img-size", "--imgsz", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--task", type=str, default="val",
+                   choices=["val", "test", "train", "speed", "study"])
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--no-half", action="store_true")
+    p.add_argument("--plots", action="store_true")
+    p.add_argument("--save-dir", type=str, default="runs/val")
+    p.add_argument("--workers", type=int, default=8)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    set_logging()
+    o = parse_opt(argv)
+    if o.task == "speed":
+        return run_speed(o.data, o.weights, o.batch_size, o.img_size,
+                         not o.no_half)
+    if o.task == "study":
+        out = {}
+        for size in (256, 384, 512, 640):
+            out[size] = run_speed(o.data, o.weights, o.batch_size, size,
+                                  not o.no_half)
+        print(json.dumps(out))
+        return out
+    return run(
+        o.data, o.weights, o.batch_size, o.img_size, o.conf_thres,
+        o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
+        o.plots, o.save_dir, o.workers,
+    )
+
+
+if __name__ == "__main__":
+    main()

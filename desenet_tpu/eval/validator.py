@@ -1,0 +1,222 @@
+"""Joint validation: detection mAP + segmentation mIoU.
+
+Mirrors scripts/val.py run()/seg_validation() semantics (reference
+val.py:42-76, 126-345): rect dataloader (pad 0.5), conf 0.001 / IoU 0.6
+multi-label NMS, native-space coordinate rescale, 10-threshold TP matching,
+101-pt AP; seg logits -> argmax -> pixAcc/mIoU with class 0 excluded.
+
+TPU design: the model forward + decode + NMS + seg argmax run as ONE jitted
+program per batch shape; only the fixed-shape NMS outputs and the (B, H, W)
+uint8 class masks come back to the host. The pre/inference/NMS timing split
+of the reference is reported as host-staging / device-step / host-metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desenet_tpu.data import create_mixed_dataloader
+from desenet_tpu.ops import non_max_suppression
+from desenet_tpu.ops.boxes import xywh2xyxy as jx_xywh2xyxy
+from desenet_tpu.utils.metrics import (
+    ConfusionMatrix,
+    SegMetrics,
+    ap_per_class,
+    match_predictions,
+)
+
+
+def np_xywh2xyxy(x):
+    y = np.empty_like(x)
+    y[:, 0] = x[:, 0] - x[:, 2] / 2
+    y[:, 1] = x[:, 1] - x[:, 3] / 2
+    y[:, 2] = x[:, 0] + x[:, 2] / 2
+    y[:, 3] = x[:, 1] + x[:, 3] / 2
+    return y
+
+
+def np_scale_coords(img1_shape, coords, img0_shape, ratio_pad=None):
+    """Letterbox-inverse rescale (general.py:598-609), numpy in place."""
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = (
+            (img1_shape[1] - img0_shape[1] * gain) / 2,
+            (img1_shape[0] - img0_shape[0] * gain) / 2,
+        )
+    else:
+        gain = ratio_pad[0][0]
+        pad = ratio_pad[1]
+    coords[:, [0, 2]] -= pad[0]
+    coords[:, [1, 3]] -= pad[1]
+    coords[:, :4] /= gain
+    coords[:, [0, 2]] = coords[:, [0, 2]].clip(0, img0_shape[1])
+    coords[:, [1, 3]] = coords[:, [1, 3]].clip(0, img0_shape[0])
+    return coords
+
+
+class Validator:
+    def __init__(
+        self,
+        model,
+        nc: int,
+        se_nc: int,
+        conf_thres: float = 0.001,
+        iou_thres: float = 0.6,
+        max_det: int = 300,
+        pre_topk: int = 4096,
+        single_cls: bool = False,
+        plots: bool = False,
+        save_dir: str = "",
+        names: Optional[Dict[int, str]] = None,
+    ):
+        self.model = model
+        self.nc = nc
+        self.se_nc = se_nc
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        self.pre_topk = pre_topk
+        self.single_cls = single_cls
+        self.plots = plots
+        self.save_dir = save_dir
+        self.names = names or {i: str(i) for i in range(nc)}
+        self.iouv = np.linspace(0.5, 0.95, 10)
+        self._step_cache = {}
+
+    def _eval_step(self, shape):
+        if shape in self._step_cache:
+            return self._step_cache[shape]
+        model = self.model
+
+        @jax.jit
+        def step(variables, img_u8):
+            x = img_u8.astype(model.dtype) / 255.0
+            (dec, feats), seg = model.apply(variables, x, train=False)
+            nms = non_max_suppression(
+                dec,
+                conf_thres=self.conf_thres,
+                iou_thres=self.iou_thres,
+                max_det=self.max_det,
+                pre_topk=self.pre_topk,
+                multi_label=not self.single_cls and self.nc > 1,
+                agnostic=self.single_cls,
+            )
+            seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+            return nms, seg_cls
+
+        self._step_cache[shape] = step
+        return step
+
+    def run(self, variables, loader) -> Dict[str, float]:
+        stats = []
+        seen = 0
+        seg_m = SegMetrics(self.se_nc)
+        cm = ConfusionMatrix(nc=self.nc) if self.plots else None
+        dt = [0.0, 0.0, 0.0]
+
+        for batch in loader:
+            t0 = time.perf_counter()
+            img = jnp.asarray(batch["image"])
+            t1 = time.perf_counter()
+            step = self._eval_step(tuple(batch["image"].shape))
+            nms, seg_cls = jax.block_until_ready(step(variables, img))
+            t2 = time.perf_counter()
+
+            boxes = np.asarray(nms.boxes)
+            scores = np.asarray(nms.scores)
+            classes = np.asarray(nms.classes)
+            nums = np.asarray(nms.num)
+            seg_cls = np.asarray(seg_cls)
+
+            seg_m.update(seg_cls, batch["seg_labels"])
+
+            h, w = batch["image"].shape[1:3]
+            for si in range(len(nums)):
+                seen += 1
+                n = int(nums[si])
+                tmask = batch["det_mask"][si]
+                tg = batch["det_targets"][si][tmask]  # (m, 5) cls,xywhn
+                tcls = tg[:, 0].tolist()
+                shapes = batch["shapes"][si]
+                shape0 = shapes[0] if shapes is not None else (h, w)
+                rp = shapes[1] if shapes is not None else None
+
+                if n == 0:
+                    if len(tg):
+                        stats.append((
+                            np.zeros((0, 10), bool), np.zeros(0), np.zeros(0),
+                            tcls,
+                        ))
+                    continue
+
+                pred = np.concatenate(
+                    [boxes[si, :n], scores[si, :n, None], classes[si, :n, None]],
+                    axis=1,
+                ).astype(np.float64)
+                if self.single_cls:
+                    pred[:, 5] = 0
+                predn = pred.copy()
+                np_scale_coords((h, w), predn[:, :4], shape0, rp)
+
+                if len(tg):
+                    tbox = np_xywh2xyxy(tg[:, 1:5]) * [w, h, w, h]
+                    np_scale_coords((h, w), tbox, shape0, rp)
+                    labelsn = np.concatenate([tg[:, 0:1], tbox], axis=1)
+                    correct = match_predictions(predn, labelsn, self.iouv)
+                    if cm is not None:
+                        cm.process_batch(predn, labelsn)
+                else:
+                    correct = np.zeros((n, 10), bool)
+                stats.append((correct, pred[:, 4], pred[:, 5], tcls))
+            dt[0] += t1 - t0
+            dt[1] += t2 - t1
+            dt[2] += time.perf_counter() - t2
+
+        # aggregate
+        out = {
+            "mp": 0.0, "mr": 0.0, "map50": 0.0, "map": 0.0,
+            "miou": seg_m.miou, "pix_acc": seg_m.pix_acc, "seen": seen,
+            "per_class": {},
+        }
+        if stats:
+            flat = [np.concatenate([np.atleast_1d(np.asarray(s[i])) for s in stats], 0)
+                    for i in range(4)]
+            if len(flat[0]) and flat[0].any():
+                p, r, ap, f1, ap_class = ap_per_class(
+                    flat[0], flat[1], flat[2], flat[3]
+                )
+                ap50, apm = ap[:, 0], ap.mean(1)
+                out.update(
+                    mp=float(p.mean()), mr=float(r.mean()),
+                    map50=float(ap50.mean()), map=float(apm.mean()),
+                )
+                for i, c in enumerate(ap_class):
+                    out["per_class"][int(c)] = dict(
+                        p=float(p[i]), r=float(r[i]), ap50=float(ap50[i]),
+                        ap=float(apm[i]),
+                    )
+        if cm is not None and self.save_dir:
+            cm.plot(save_dir=self.save_dir, names=list(self.names.values()))
+        out["speed_ms"] = tuple(x / max(seen, 1) * 1e3 for x in dt)
+        return out
+
+
+def seg_validation(model, variables, n_segcls, loader) -> float:
+    """Standalone running-mIoU eval (reference val.py:42-76)."""
+    m = SegMetrics(n_segcls)
+
+    @jax.jit
+    def step(variables, img_u8):
+        x = img_u8.astype(model.dtype) / 255.0
+        _, seg = model.apply(variables, x, train=False)
+        return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+
+    for batch in loader:
+        seg_cls = np.asarray(step(variables, jnp.asarray(batch["image"])))
+        m.update(seg_cls, batch["seg_labels"])
+    return m.miou

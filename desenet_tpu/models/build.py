@@ -71,14 +71,22 @@ def _round_depth(n: int, gd: float) -> int:
     return max(round(n * gd), 1) if n > 1 else n
 
 
-def parse_config(cfg, ch: int = 3, nc: Optional[int] = None) -> ModelSpec:
-    """Compile a model dict / yaml path into a ModelSpec."""
+def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
+                 se_nc: Optional[int] = None) -> ModelSpec:
+    """Compile a model dict / yaml path into a ModelSpec.
+
+    nc / se_nc override the yaml's de_nc / se_nc (the reference only supports
+    the det override, yolo.py:298-300; the seg analog prevents silent
+    class-count mismatches with the dataset)."""
     if not isinstance(cfg, dict):
         with open(cfg, "r", encoding="utf-8") as fh:
             cfg = pyyaml.safe_load(fh)
 
     de_nc = int(nc if nc is not None else cfg["de_nc"])
-    se_nc = int(cfg.get("se_nc", 0))
+    se_nc = int(se_nc if se_nc is not None else cfg.get("se_nc", 0))
+    cfg = dict(cfg)
+    cfg["de_nc"] = de_nc
+    cfg["se_nc"] = se_nc
     gd = float(cfg["depth_multiple"])
     gw = float(cfg["width_multiple"])
     anchors = cfg["anchors"]
@@ -315,8 +323,9 @@ class DeSeNet(nn.Module):
 
 
 def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
+                se_nc: Optional[int] = None,
                 dtype=jnp.float32) -> Tuple[DeSeNet, ModelSpec]:
-    spec = parse_config(cfg, ch=ch, nc=nc)
+    spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc)
     return DeSeNet(spec=spec, dtype=dtype), spec
 
 

@@ -1,0 +1,324 @@
+"""The training engine — reference train.py:65-487 `train()` equivalent,
+re-orchestrated around a single jitted train step.
+
+Flow (call stack parity with SURVEY §3.1): dataset check -> model build
+(+ optional transfer/resume) -> 3-group optimizer + one-cycle schedule + EMA
+-> mixed dataloaders (train aug / val rect) -> hyp gain scaling
+(box*3/nl, cls*nc/80*3/nl, obj*(imgsz/640)^2*3/nl, train.py:258-260) ->
+epoch loop {train steps, EMA val (mAP + mIoU), fitness_det_seg checkpointing,
+early stop} -> final strip.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from desenet_tpu.data import create_mixed_dataloader
+from desenet_tpu.eval.validator import Validator
+from desenet_tpu.losses import DetectionLoss
+from desenet_tpu.models import build_model, config_path, init_model
+from desenet_tpu.models.heads import Detect
+from desenet_tpu.parallel import make_mesh, shard_batch
+from desenet_tpu.parallel.mesh import replicate_tree
+from desenet_tpu.train import create_train_state, make_train_step, one_cycle
+from desenet_tpu.train.optim import OptimConfig
+from desenet_tpu.train.schedule import linear_lr
+from desenet_tpu.utils import checkpoint as ckpt
+from desenet_tpu.utils.callbacks import Callbacks
+from desenet_tpu.utils.general import (
+    EarlyStopping,
+    check_dataset,
+    check_img_size,
+    increment_path,
+    init_seeds,
+    labels_to_class_weights,
+)
+from desenet_tpu.utils.loggers import Loggers
+from desenet_tpu.utils.metrics import fitness_det_seg
+
+LOGGER = logging.getLogger("desenet_tpu")
+
+DEFAULT_HYP = dict(
+    lr0=0.01, lrf=0.2, momentum=0.937, weight_decay=0.0005,
+    warmup_epochs=3.0, warmup_momentum=0.8, warmup_bias_lr=0.1,
+    box=0.05, cls=0.5, cls_pw=1.0, obj=0.7, obj_pw=1.0,
+    iou_t=0.2, anchor_t=4.0, fl_gamma=0.0,
+    hsv_h=0.05, hsv_s=0.2, hsv_v=0.1,
+    degrees=0.0, translate=0.1, scale=0.2, shear=0.0, perspective=0.0,
+    flipud=0.0, fliplr=0.5, mosaic=1.0, mixup=0.0,
+)
+
+
+@dataclass
+class TrainConfig:
+    data: str = ""  # dataset yaml
+    cfg: str = "yolov5s_seg"  # model config name/path
+    hyp: Optional[str] = None  # hyp yaml path (None -> DEFAULT_HYP)
+    weights: str = ""  # pretrain checkpoint dir ('' = from scratch)
+    epochs: int = 300
+    batch_size: int = 16
+    imgsz: int = 640
+    workers: int = 8
+    project: str = "runs/train"
+    name: str = "exp"
+    exist_ok: bool = False
+    single_cls: bool = False
+    adam: bool = False
+    linear_lr: bool = False
+    label_smoothing: float = 0.0
+    patience: int = 30
+    seed: int = 0
+    max_targets: int = 128
+    noval: bool = False
+    nosave: bool = False
+    save_period: int = -1
+    det_gain: float = 0.14  # train.py:285 detgain
+    seg_gain: float = 1.0
+    resume: str = ""  # checkpoint dir to resume from
+    dtype: str = "bfloat16"
+    n_devices: Optional[int] = None
+    use_tb: bool = True
+
+
+def load_hyp(path: Optional[str]) -> Dict:
+    hyp = dict(DEFAULT_HYP)
+    if path:
+        with open(path, encoding="utf-8") as f:
+            hyp.update(yaml.safe_load(f))
+    return hyp
+
+
+def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
+    callbacks = callbacks or Callbacks()
+    init_seeds(cfg.seed)
+    hyp = load_hyp(cfg.hyp)
+
+    save_dir = str(increment_path(os.path.join(cfg.project, cfg.name),
+                                  exist_ok=cfg.exist_ok, mkdir=True))
+    with open(os.path.join(save_dir, "hyp.yaml"), "w") as f:
+        yaml.safe_dump(hyp, f)
+    with open(os.path.join(save_dir, "opt.yaml"), "w") as f:
+        yaml.safe_dump({k: str(v) for k, v in vars(cfg).items()}, f)
+
+    loggers = Loggers(save_dir, use_tb=cfg.use_tb)
+    callbacks.auto_register(loggers)
+
+    data = check_dataset(cfg.data)
+    de_nc = 1 if cfg.single_cls else int(data["de"]["nc"])
+    se_nc = int(data["se"]["nc"])
+    de_names = (["item"] if cfg.single_cls else list(data["de"]["names"]))
+
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    model, spec = build_model(config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
+                              dtype=dtype)
+    imgsz = check_img_size(cfg.imgsz, s=max(spec.det_strides))
+
+    variables = init_model(model, jax.random.PRNGKey(cfg.seed),
+                           img_size=imgsz, batch=1)
+
+    start_epoch = 0
+    best_fitness = 0.0
+    resumed = None
+    if cfg.resume:
+        resumed = ckpt.load_checkpoint(cfg.resume)
+        LOGGER.info("resuming from %s (epoch %d)", cfg.resume,
+                    int(resumed["counters"]["epoch"]))
+    elif cfg.weights:
+        payload = ckpt.load_checkpoint(cfg.weights)
+        src = payload.get("ema_params") or payload["params"]
+        variables["params"], n = ckpt.intersect_trees(src, variables["params"])
+        if payload.get("batch_stats"):
+            variables["batch_stats"], _ = ckpt.intersect_trees(
+                payload["ema_batch_stats"] or payload["batch_stats"],
+                variables["batch_stats"],
+            )
+        LOGGER.info("transferred %d tensors from %s", n, cfg.weights)
+
+    # loaders -----------------------------------------------------------
+    train_loader, train_ds = create_mixed_dataloader(
+        data["train"], img_size=imgsz, batch_size=cfg.batch_size, augment=True,
+        hyp=hyp, stride=max(spec.det_strides), single_cls=cfg.single_cls,
+        workers=cfg.workers, max_targets=cfg.max_targets, seed=cfg.seed,
+    )
+    val_loader, val_ds = create_mixed_dataloader(
+        data["val"], img_size=imgsz, batch_size=cfg.batch_size, augment=False,
+        rect=True, pad=0.5, stride=max(spec.det_strides),
+        single_cls=cfg.single_cls, workers=cfg.workers,
+        max_targets=cfg.max_targets, seed=cfg.seed,
+    )
+    nb = len(train_loader)
+    class_weights = labels_to_class_weights(train_ds.det_labels, de_nc)
+    LOGGER.info("class weights: %s", np.round(class_weights, 3))
+
+    # loss gains scaled like train.py:258-260
+    nl = len(spec.det_strides)
+    box_gain = hyp["box"] * 3.0 / nl
+    cls_gain = hyp["cls"] * de_nc / 80.0 * 3.0 / nl
+    obj_gain = hyp["obj"] * (imgsz / 640.0) ** 2 * 3.0 / nl
+
+    det_ls = spec.layers[spec.det_layer]
+    head = Detect(nc=de_nc, anchors=det_ls.args[1], strides=spec.det_strides)
+    anchors = tuple(
+        tuple(tuple(float(v) for v in a) for a in s)
+        for s in head.anchors_grid_units()
+    )
+    det_loss = DetectionLoss(
+        anchors=anchors, nc=de_nc, box_gain=box_gain, obj_gain=obj_gain,
+        cls_gain=cls_gain, cls_pw=hyp["cls_pw"], obj_pw=hyp["obj_pw"],
+        label_smoothing=cfg.label_smoothing, fl_gamma=hyp["fl_gamma"],
+        anchor_t=hyp["anchor_t"],
+    )
+
+    opt_cfg = OptimConfig(
+        optimizer="adam" if cfg.adam else "sgd",
+        lr0=hyp["lr0"], momentum=hyp["momentum"],
+        weight_decay=hyp["weight_decay"],
+        warmup_bias_lr=hyp["warmup_bias_lr"],
+        warmup_momentum=hyp["warmup_momentum"],
+    )
+    lf = (linear_lr(hyp["lrf"], cfg.epochs) if cfg.linear_lr
+          else one_cycle(1.0, hyp["lrf"], cfg.epochs))
+    warmup_iters = max(round(hyp["warmup_epochs"] * nb), 1000)
+
+    mesh = make_mesh(cfg.n_devices)
+    n_dev = mesh.devices.size
+    assert cfg.batch_size % n_dev == 0, (
+        f"batch {cfg.batch_size} not divisible by {n_dev} devices"
+    )
+
+    state = create_train_state(variables, opt_cfg)
+    if resumed is not None:
+        state = state.replace(
+            params=resumed["params"], batch_stats=resumed["batch_stats"],
+            opt_state=resumed["opt_state"], accum_grads=resumed["accum_grads"],
+            ema_params=resumed["ema_params"],
+            ema_batch_stats=resumed["ema_batch_stats"],
+            ema_updates=jnp.asarray(resumed["counters"]["ema_updates"]),
+            step=jnp.asarray(resumed["counters"]["step"]),
+            last_opt_step=jnp.asarray(resumed["counters"]["last_opt_step"]),
+        )
+        start_epoch = int(resumed["counters"]["epoch"]) + 1
+        best_fitness = float(resumed["counters"]["best_fitness"])
+    state = replicate_tree(state, mesh)
+
+    step_fn = make_train_step(
+        model, det_loss, opt_cfg, lf, nb=nb, warmup_iters=warmup_iters,
+        nominal_bs=64, batch_size=cfg.batch_size, det_gain=cfg.det_gain,
+        seg_gain=cfg.seg_gain,
+    )
+
+    validator = Validator(
+        model, nc=de_nc, se_nc=se_nc, single_cls=cfg.single_cls,
+        save_dir=save_dir, names={i: n for i, n in enumerate(de_names)},
+    )
+    stopper = EarlyStopping(patience=cfg.patience)
+    meta = {
+        "cfg": cfg.cfg, "imgsz": imgsz, "de_nc": de_nc, "se_nc": se_nc,
+        "de_names": de_names, "se_names": list(data["se"]["names"]),
+        "hyp": hyp,
+    }
+
+    callbacks.run("on_train_start")
+    LOGGER.info(
+        "training %s on %s for %d epochs (%d batches/epoch, %d devices)",
+        cfg.cfg, cfg.data, cfg.epochs, nb, n_dev,
+    )
+    t_start = time.time()
+    final_results = {}
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    for epoch in range(start_epoch, cfg.epochs):
+        callbacks.run("on_train_epoch_start")
+        train_loader.set_epoch(epoch)
+        mloss = np.zeros(4)  # box, obj, cls, seg running means
+        t_ep = time.time()
+        for i, batch in enumerate(train_loader):
+            batch.pop("paths", None)
+            batch.pop("shapes", None)
+            batch = shard_batch(batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, step_rng)
+            if (i + 1) % max(nb // 4, 1) == 0 or i == nb - 1:
+                vals = np.asarray([
+                    float(metrics["lbox"]), float(metrics["lobj"]),
+                    float(metrics["lcls"]), float(metrics["lseg"]),
+                ])
+                mloss = (mloss * i + vals) / (i + 1)
+                LOGGER.info(
+                    "epoch %d/%d batch %d/%d  box %.4f obj %.4f cls %.4f "
+                    "seg %.4f  lr %.5f",
+                    epoch, cfg.epochs - 1, i + 1, nb, *vals,
+                    float(metrics["lr"]),
+                )
+            callbacks.run("on_train_batch_end")
+        callbacks.run("on_train_epoch_end")
+
+        # validation with EMA weights (train.py:396-416)
+        results = dict(mp=0.0, mr=0.0, map50=0.0, map=0.0, miou=0.0,
+                       pix_acc=0.0)
+        if not cfg.noval or epoch == cfg.epochs - 1:
+            ema_vars = {
+                "params": state.ema_params,
+                "batch_stats": state.ema_batch_stats,
+            }
+            callbacks.run("on_val_start")
+            results = validator.run(ema_vars, val_loader)
+            callbacks.run("on_val_end")
+
+        fi = float(fitness_det_seg(
+            np.asarray([[results["mp"], results["mr"], results["map50"],
+                         results["map"]]]),
+            results["miou"],
+        )[0])
+        row = {
+            "epoch": epoch,
+            "train/box_loss": mloss[0], "train/obj_loss": mloss[1],
+            "train/cls_loss": mloss[2], "train/seg_loss": mloss[3],
+            "metrics/precision": results["mp"],
+            "metrics/recall": results["mr"],
+            "metrics/mAP_0.5": results["map50"],
+            "metrics/mAP_0.5:0.95": results["map"],
+            "metrics/mIoU": results["miou"],
+            "metrics/pixAcc": results["pix_acc"],
+            "val/fitness": fi,
+            "x/lr": float(opt_cfg.lr0 * lf(epoch)),
+        }
+        callbacks.run("on_fit_epoch_end", row)
+        LOGGER.info(
+            "epoch %d done in %.1fs  mAP50 %.4f mAP %.4f mIoU %.4f fitness "
+            "%.4f", epoch, time.time() - t_ep, results["map50"],
+            results["map"], results["miou"], fi,
+        )
+
+        if fi > best_fitness:
+            best_fitness = fi
+        if not cfg.nosave:
+            ckpt.save_checkpoint(os.path.join(save_dir, "last"), state, epoch,
+                                 best_fitness, meta)
+            if best_fitness == fi:
+                ckpt.save_checkpoint(os.path.join(save_dir, "best"), state,
+                                     epoch, best_fitness, meta)
+            if cfg.save_period > 0 and epoch % cfg.save_period == 0:
+                ckpt.save_checkpoint(
+                    os.path.join(save_dir, f"epoch{epoch}"), state, epoch,
+                    best_fitness, meta,
+                )
+            callbacks.run("on_model_save")
+        final_results = results
+        if stopper(epoch, fi):
+            break
+
+    LOGGER.info("training finished in %.1f min; best fitness %.4f",
+                (time.time() - t_start) / 60, best_fitness)
+    callbacks.run("on_train_end")
+    callbacks.run("teardown")
+    return {"save_dir": save_dir, "best_fitness": best_fitness,
+            **final_results}

@@ -36,9 +36,13 @@ def create_train_state(variables, opt_cfg: O.OptimConfig) -> TrainState:
         batch_stats=batch_stats,
         opt_state=O.init_opt_state(params, opt_cfg),
         accum_grads=jax.tree.map(jnp.zeros_like, params),
-        ema_params=jax.tree.map(lambda x: x.astype(jnp.float32), params),
+        # EMA starts as a *copy* — astype would alias fp32 buffers and break
+        # buffer donation in the jitted step
+        ema_params=jax.tree.map(
+            lambda x: jnp.array(x, dtype=jnp.float32, copy=True), params
+        ),
         ema_batch_stats=jax.tree.map(
-            lambda x: x.astype(jnp.float32), batch_stats
+            lambda x: jnp.array(x, dtype=jnp.float32, copy=True), batch_stats
         ),
         ema_updates=jnp.zeros((), jnp.int32),
         step=jnp.zeros((), jnp.int32),

@@ -1,0 +1,114 @@
+"""Checkpoint save/restore (orbax) + inference export.
+
+Reference semantics (train.py:426-444, general.py:753-766): checkpoint holds
+{epoch, best_fitness, model, ema, updates, optimizer}; `strip` finalizes a
+checkpoint for inference by promoting EMA weights and dropping train state.
+Here a checkpoint is an orbax PyTree of numpy arrays plus a JSON meta file
+(model config name / class names / hyp) so restore needs no pickled code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    epoch: int,
+    best_fitness: float,
+    meta: Optional[Dict[str, Any]] = None,
+):
+    """Write a full training checkpoint to `path` (a directory)."""
+    path = os.path.abspath(path)
+    payload = {
+        "params": _to_numpy_tree(state.params),
+        "batch_stats": _to_numpy_tree(state.batch_stats),
+        "ema_params": _to_numpy_tree(state.ema_params),
+        "ema_batch_stats": _to_numpy_tree(state.ema_batch_stats),
+        "opt_state": _to_numpy_tree(state.opt_state),
+        "accum_grads": _to_numpy_tree(state.accum_grads),
+        "counters": {
+            "ema_updates": np.asarray(state.ema_updates),
+            "step": np.asarray(state.step),
+            "last_opt_step": np.asarray(state.last_opt_step),
+            "epoch": np.asarray(epoch),
+            "best_fitness": np.asarray(best_fitness, np.float32),
+        },
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    if meta is not None:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    payload = ckptr.restore(path)
+    meta_path = os.path.join(path, "meta.json")
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    payload["meta"] = meta
+    return payload
+
+
+def strip_checkpoint(path: str, out_path: str):
+    """Finalize for inference: EMA -> model weights, drop optimizer/accum
+    (general.py:753-766 strip_optimizer)."""
+    payload = load_checkpoint(path)
+    slim = {
+        "params": payload["ema_params"] or payload["params"],
+        "batch_stats": payload["ema_batch_stats"] or payload["batch_stats"],
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(out_path), slim, force=True)
+    if payload.get("meta") is not None:
+        with open(os.path.join(os.path.abspath(out_path), "meta.json"), "w") as f:
+            json.dump(payload["meta"], f, indent=1)
+
+
+def load_inference_variables(path: str):
+    """Load variables for model.apply from either a stripped or full ckpt,
+    preferring EMA weights (experimental.py:85-108 attempt_load
+    semantics)."""
+    payload = load_checkpoint(path)
+    params = payload.get("ema_params") or payload.get("params")
+    stats = payload.get("ema_batch_stats") or payload.get("batch_stats")
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    return variables, payload.get("meta")
+
+
+def intersect_trees(src, dst):
+    """Transfer-learning weight intersection by path+shape
+    (torch_utils.py:151-157): take src leaves whose path exists in dst with a
+    matching shape, else keep dst's."""
+    from flax import traverse_util
+
+    fsrc = traverse_util.flatten_dict(src)
+    fdst = traverse_util.flatten_dict(dst)
+    n = 0
+    out = {}
+    for k, v in fdst.items():
+        sv = fsrc.get(k)
+        if sv is not None and tuple(np.shape(sv)) == tuple(np.shape(v)):
+            out[k] = np.asarray(sv, dtype=np.asarray(v).dtype)
+            n += 1
+        else:
+            out[k] = v
+    return traverse_util.unflatten_dict(out), n

@@ -103,15 +103,16 @@ def match_predictions(
         return correct
     iou = np_box_iou(labels[:, 1:], detections[:, :4])
     cls_match = labels[:, 0:1] == detections[None, :, 5]
-    for j, t in enumerate(iouv):
-        li, di = np.where((iou >= t) & cls_match)
-        if li.shape[0]:
-            m = np.stack([li, di, iou[li, di]], axis=1)
-            if li.shape[0] > 1:
-                m = m[m[:, 2].argsort()[::-1]]
-                m = m[np.unique(m[:, 1], return_index=True)[1]]
-                m = m[np.unique(m[:, 0], return_index=True)[1]]
-            correct[m[:, 1].astype(int), j] = True
+    # match once at iouv[0], then grade each match against every threshold —
+    # exactly the reference's matrix construction (val.py:112-121)
+    li, di = np.where((iou >= iouv[0]) & cls_match)
+    if li.shape[0]:
+        m = np.stack([li, di, iou[li, di]], axis=1)
+        if li.shape[0] > 1:
+            m = m[m[:, 2].argsort()[::-1]]
+            m = m[np.unique(m[:, 1], return_index=True)[1]]
+            m = m[np.unique(m[:, 0], return_index=True)[1]]
+        correct[m[:, 1].astype(int)] = m[:, 2:3] >= iouv[None, :].reshape(1, -1)
     return correct
 
 
