@@ -46,6 +46,9 @@ def parse_opt(argv=None):
                    choices=["bfloat16", "float32"])
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--no-tb", action="store_true")
+    p.add_argument("--noautoanchor", action="store_true")
+    p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--image-weights", action="store_true")
     return p.parse_args(argv)
 
 
@@ -62,6 +65,8 @@ def main(argv=None):
         noval=o.noval, nosave=o.nosave, save_period=o.save_period,
         det_gain=o.det_gain, seg_gain=o.seg_gain, dtype=o.dtype,
         n_devices=o.n_devices, use_tb=not o.no_tb,
+        noautoanchor=o.noautoanchor, multi_scale=o.multi_scale,
+        image_weights=o.image_weights,
     )
     results = train(cfg)
     print(

@@ -282,6 +282,13 @@ class MixedDataset:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def resample(self, image_weights: np.ndarray, rng: np.random.Generator):
+        """Class-weighted image resampling for the next epoch
+        (train.py:297-310 image_weights path)."""
+        w = np.asarray(image_weights, np.float64)
+        w = w / w.sum()
+        self.indices = rng.choice(self.n, size=self.n, p=w)
+
     def sample_rng(self, index: int) -> np.random.Generator:
         return np.random.default_rng(
             np.random.SeedSequence([self.seed, self.epoch, int(index)])

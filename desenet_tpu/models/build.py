@@ -19,10 +19,11 @@ this unrolls into a single XLA graph.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import yaml as pyyaml
 from flax import linen as nn
 
@@ -72,12 +73,13 @@ def _round_depth(n: int, gd: float) -> int:
 
 
 def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
-                 se_nc: Optional[int] = None) -> ModelSpec:
+                 se_nc: Optional[int] = None,
+                 anchors: Optional[Sequence] = None) -> ModelSpec:
     """Compile a model dict / yaml path into a ModelSpec.
 
-    nc / se_nc override the yaml's de_nc / se_nc (the reference only supports
-    the det override, yolo.py:298-300; the seg analog prevents silent
-    class-count mismatches with the dataset)."""
+    nc / se_nc / anchors override the yaml values (the reference supports the
+    det-nc and anchors overrides, yolo.py:298-303; the seg analog prevents
+    silent class-count mismatches with the dataset)."""
     if not isinstance(cfg, dict):
         with open(cfg, "r", encoding="utf-8") as fh:
             cfg = pyyaml.safe_load(fh)
@@ -87,6 +89,9 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
     cfg = dict(cfg)
     cfg["de_nc"] = de_nc
     cfg["se_nc"] = se_nc
+    if anchors is not None:
+        cfg["anchors"] = [list(np.asarray(a).reshape(-1)) for a in
+                          np.asarray(anchors).reshape(len(cfg["anchors"]), -1, 2)]
     gd = float(cfg["depth_multiple"])
     gw = float(cfg["width_multiple"])
     anchors = cfg["anchors"]
@@ -323,9 +328,9 @@ class DeSeNet(nn.Module):
 
 
 def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
-                se_nc: Optional[int] = None,
+                se_nc: Optional[int] = None, anchors: Optional[Sequence] = None,
                 dtype=jnp.float32) -> Tuple[DeSeNet, ModelSpec]:
-    spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc)
+    spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors)
     return DeSeNet(spec=spec, dtype=dtype), spec
 
 

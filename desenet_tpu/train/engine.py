@@ -87,6 +87,9 @@ class TrainConfig:
     dtype: str = "bfloat16"
     n_devices: Optional[int] = None
     use_tb: bool = True
+    noautoanchor: bool = False
+    multi_scale: bool = False  # random 0.5-1.5x size buckets per batch
+    image_weights: bool = False  # class-weighted image resampling per epoch
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -158,6 +161,25 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     nb = len(train_loader)
     class_weights = labels_to_class_weights(train_ds.det_labels, de_nc)
     LOGGER.info("class weights: %s", np.round(class_weights, 3))
+
+    # autoanchor BPR gate (train.py:243-245); model rebuild is cheap — the
+    # param shapes don't depend on anchor values
+    if not cfg.noautoanchor:
+        from desenet_tpu.utils.autoanchor import check_anchors
+
+        det_ls0 = spec.layers[spec.det_layer]
+        cur_anchors = np.asarray(det_ls0.args[1], np.float32).reshape(
+            len(spec.det_strides), -1, 2
+        )
+        new_anchors, changed = check_anchors(
+            train_ds, cur_anchors, spec.det_strides, thr=hyp["anchor_t"],
+            imgsz=imgsz, seed=cfg.seed,
+        )
+        if changed:
+            model, spec = build_model(
+                config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
+                anchors=new_anchors, dtype=dtype,
+            )
 
     # loss gains scaled like train.py:258-260
     nl = len(spec.det_strides)
@@ -235,14 +257,40 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     t_start = time.time()
     final_results = {}
     rng = jax.random.PRNGKey(cfg.seed + 1)
+    ms_rng = np.random.default_rng(cfg.seed + 7)
+    stride_max = max(spec.det_strides)
     for epoch in range(start_epoch, cfg.epochs):
         callbacks.run("on_train_epoch_start")
         train_loader.set_epoch(epoch)
+        if cfg.image_weights:
+            from desenet_tpu.utils.general import labels_to_image_weights
+
+            iw = labels_to_image_weights(train_ds.det_labels, de_nc,
+                                         class_weights)
+            train_ds.resample(iw + 1e-9, ms_rng)
         mloss = np.zeros(4)  # box, obj, cls, seg running means
         t_ep = time.time()
         for i, batch in enumerate(train_loader):
             batch.pop("paths", None)
             batch.pop("shapes", None)
+            if cfg.multi_scale:
+                # random 0.5-1.5x size, stride-multiple buckets
+                # (train.py:343-348); one jit specialization per bucket
+                sz = (int(ms_rng.uniform(0.5, 1.5) * imgsz) // stride_max
+                      ) * stride_max
+                if sz != batch["image"].shape[1]:
+                    import cv2 as _cv2
+
+                    batch["image"] = np.stack([
+                        _cv2.resize(im, (sz, sz),
+                                    interpolation=_cv2.INTER_LINEAR)
+                        for im in batch["image"]
+                    ])
+                    batch["seg_labels"] = np.stack([
+                        _cv2.resize(m.astype(np.uint8), (sz, sz),
+                                    interpolation=_cv2.INTER_NEAREST)
+                        for m in batch["seg_labels"]
+                    ]).astype(np.int32)
             batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
