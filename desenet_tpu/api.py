@@ -1,0 +1,202 @@
+"""High-level inference API — reference AutoShape/Detections equivalent
+(core/models/common.py:710-882).
+
+    from desenet_tpu.api import load_predictor
+    pred = load_predictor("runs/train/exp/best")
+    res = pred(["img1.jpg", np_array, pil_image])   # robust input handling
+    res.xyxy[0]          # per-image (n, 6) [x1,y1,x2,y2,conf,cls] native px
+    res.masks[0]         # (H0, W0) seg class-id mask at native resolution
+    res.save("out/")     # annotated jpgs + seg overlays
+    res.to_dicts()       # list of per-image dict records
+
+Batch handling is TPU-aware: inputs are letterboxed to a common static shape
+and run as one fused jit (forward + decode + NMS + seg argmax).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Optional, Sequence, Union
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desenet_tpu.data.augment import letterbox
+from desenet_tpu.eval.validator import np_scale_coords
+from desenet_tpu.models import build_model, config_path
+from desenet_tpu.ops import non_max_suppression
+from desenet_tpu.utils.checkpoint import load_inference_variables
+from desenet_tpu.utils.plots import Annotator, SegAnnotator, colors
+
+
+class Detections:
+    """Result container (common.py:784-882 semantics, numpy-native)."""
+
+    def __init__(self, imgs_bgr, xyxy, masks, names, se_names, times=None):
+        self.imgs = imgs_bgr  # native BGR images
+        self.xyxy = xyxy  # list of (n, 6) [x1,y1,x2,y2,conf,cls]
+        self.masks = masks  # list of (H0, W0) class-id masks
+        self.names = names
+        self.se_names = se_names
+        self.n = len(imgs_bgr)
+        self.times = times or {}
+
+    @property
+    def xywh(self) -> List[np.ndarray]:
+        out = []
+        for d in self.xyxy:
+            o = d.copy()
+            o[:, 0] = (d[:, 0] + d[:, 2]) / 2
+            o[:, 1] = (d[:, 1] + d[:, 3]) / 2
+            o[:, 2] = d[:, 2] - d[:, 0]
+            o[:, 3] = d[:, 3] - d[:, 1]
+            out.append(o)
+        return out
+
+    def to_dicts(self) -> List[List[dict]]:
+        recs = []
+        for d in self.xyxy:
+            recs.append([
+                dict(
+                    xmin=float(r[0]), ymin=float(r[1]), xmax=float(r[2]),
+                    ymax=float(r[3]), confidence=float(r[4]),
+                    cls=int(r[5]), name=self.names[int(r[5])],
+                )
+                for r in d
+            ])
+        return recs
+
+    def render(self) -> List[np.ndarray]:
+        """Annotated BGR images (boxes + seg overlay)."""
+        seg_ann = SegAnnotator()
+        out = []
+        for im, d, m in zip(self.imgs, self.xyxy, self.masks):
+            ann = Annotator(np.ascontiguousarray(im))
+            for *xyxy, conf, c in d:
+                ann.box_label(xyxy, f"{self.names[int(c)]} {conf:.2f}",
+                              colors(int(c), True))
+            out.append(seg_ann.overlay(ann.result(), m))
+        return out
+
+    def save(self, save_dir: str = "runs/predict"):
+        os.makedirs(save_dir, exist_ok=True)
+        for i, im in enumerate(self.render()):
+            cv2.imwrite(os.path.join(save_dir, f"image{i}.jpg"), im)
+        return save_dir
+
+    def crop(self, save_dir: str = "runs/predict/crops"):
+        os.makedirs(save_dir, exist_ok=True)
+        k = 0
+        for im, d in zip(self.imgs, self.xyxy):
+            for *xyxy, conf, c in d:
+                x1, y1, x2, y2 = (int(v) for v in xyxy)
+                cv2.imwrite(
+                    os.path.join(save_dir,
+                                 f"{self.names[int(c)]}_{k}.jpg"),
+                    im[y1:y2, x1:x2],
+                )
+                k += 1
+        return save_dir
+
+    def __len__(self):
+        return self.n
+
+    def __repr__(self):
+        counts = [len(d) for d in self.xyxy]
+        return f"Detections({self.n} images, dets per image {counts})"
+
+
+class Predictor:
+    def __init__(self, weights: str, imgsz: int = 640,
+                 conf_thres: float = 0.25, iou_thres: float = 0.45,
+                 max_det: int = 300, half: bool = True):
+        variables, meta = load_inference_variables(weights)
+        assert meta is not None, "checkpoint missing meta.json"
+        dtype = jnp.bfloat16 if half else jnp.float32
+        self.model, self.spec = build_model(
+            config_path(meta["cfg"]), nc=meta["de_nc"], se_nc=meta["se_nc"],
+            dtype=dtype,
+        )
+        self.variables = variables
+        self.imgsz = imgsz
+        self.stride = max(self.spec.det_strides)
+        self.names = meta.get("de_names") or [str(i) for i in
+                                              range(self.spec.de_nc)]
+        self.se_names = meta.get("se_names") or [str(i) for i in
+                                                 range(self.spec.se_nc)]
+        self.dtype = dtype
+
+        @jax.jit
+        def _infer(variables, img_u8):
+            x = img_u8.astype(dtype) / 255.0
+            (dec, _), seg = self.model.apply(variables, x, train=False)
+            nms = non_max_suppression(
+                dec, conf_thres=conf_thres, iou_thres=iou_thres,
+                max_det=max_det, pre_topk=2048,
+            )
+            seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+            return nms, seg_cls
+
+        self._infer = _infer
+
+    @staticmethod
+    def _to_bgr(im) -> np.ndarray:
+        """path / ndarray(BGR HWC) / PIL -> BGR uint8."""
+        if isinstance(im, (str, os.PathLike)):
+            out = cv2.imread(str(im))
+            assert out is not None, f"image not found: {im}"
+            return out
+        if hasattr(im, "mode"):  # PIL
+            return cv2.cvtColor(np.asarray(im.convert("RGB")),
+                                cv2.COLOR_RGB2BGR)
+        arr = np.asarray(im)
+        if arr.dtype != np.uint8:
+            arr = (arr * 255).clip(0, 255).astype(np.uint8)
+        return arr
+
+    def __call__(self, inputs: Union[str, np.ndarray, Sequence]) -> Detections:
+        if not isinstance(inputs, (list, tuple)):
+            inputs = [inputs]
+        imgs0 = [self._to_bgr(im) for im in inputs]
+
+        lb = [letterbox(im, self.imgsz, auto=False, stride=self.stride)
+              for im in imgs0]
+        batch = np.stack([np.ascontiguousarray(x[0][:, :, ::-1]) for x in lb])
+        nms, seg_cls = jax.block_until_ready(
+            self._infer(self.variables, jnp.asarray(batch))
+        )
+
+        boxes = np.asarray(nms.boxes)
+        scores = np.asarray(nms.scores)
+        classes = np.asarray(nms.classes)
+        nums = np.asarray(nms.num)
+        seg_np = np.asarray(seg_cls)
+        h, w = batch.shape[1:3]
+
+        xyxy, masks = [], []
+        for i, im0 in enumerate(imgs0):
+            n = int(nums[i])
+            d = np.concatenate(
+                [boxes[i, :n], scores[i, :n, None], classes[i, :n, None]],
+                axis=1,
+            ).astype(np.float64)
+            if n:
+                np_scale_coords((h, w), d[:, :4], im0.shape[:2])
+            xyxy.append(d)
+            # undo letterbox on the mask: crop pad, nearest-resize to native
+            gain = min(h / im0.shape[0], w / im0.shape[1])
+            pw = int(round((w - im0.shape[1] * gain) / 2))
+            ph = int(round((h - im0.shape[0] * gain) / 2))
+            m = seg_np[i][ph:h - ph or None, pw:w - pw or None]
+            masks.append(cv2.resize(
+                m, (im0.shape[1], im0.shape[0]),
+                interpolation=cv2.INTER_NEAREST,
+            ))
+        return Detections(imgs0, xyxy, masks,
+                          names=self.names, se_names=self.se_names)
+
+
+def load_predictor(weights: str, **kw) -> Predictor:
+    return Predictor(weights, **kw)

@@ -49,6 +49,10 @@ def parse_opt(argv=None):
     p.add_argument("--noautoanchor", action="store_true")
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--image-weights", action="store_true")
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch size for grad accumulation")
+    p.add_argument("--warmup-floor", type=int, default=1000,
+                   help="minimum warmup iterations")
     return p.parse_args(argv)
 
 
@@ -66,7 +70,8 @@ def main(argv=None):
         det_gain=o.det_gain, seg_gain=o.seg_gain, dtype=o.dtype,
         n_devices=o.n_devices, use_tb=not o.no_tb,
         noautoanchor=o.noautoanchor, multi_scale=o.multi_scale,
-        image_weights=o.image_weights,
+        image_weights=o.image_weights, nbs=o.nbs,
+        warmup_floor=o.warmup_floor,
     )
     results = train(cfg)
     print(

@@ -90,6 +90,9 @@ class TrainConfig:
     noautoanchor: bool = False
     multi_scale: bool = False  # random 0.5-1.5x size buckets per batch
     image_weights: bool = False  # class-weighted image resampling per epoch
+    nbs: int = 64  # nominal batch size for grad accumulation (train.py:146)
+    warmup_floor: int = 1000  # min warmup iterations (train.py:287 hardcodes
+    # 1000; configurable here because it swamps small-dataset runs)
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -209,13 +212,15 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     )
     lf = (linear_lr(hyp["lrf"], cfg.epochs) if cfg.linear_lr
           else one_cycle(1.0, hyp["lrf"], cfg.epochs))
-    warmup_iters = max(round(hyp["warmup_epochs"] * nb), 1000)
+    warmup_iters = max(round(hyp["warmup_epochs"] * nb), cfg.warmup_floor)
 
-    mesh = make_mesh(cfg.n_devices)
-    n_dev = mesh.devices.size
-    assert cfg.batch_size % n_dev == 0, (
-        f"batch {cfg.batch_size} not divisible by {n_dev} devices"
-    )
+    n_avail = len(jax.devices()) if cfg.n_devices is None else cfg.n_devices
+    n_dev = next(d for d in range(min(n_avail, cfg.batch_size), 0, -1)
+                 if cfg.batch_size % d == 0)
+    if n_dev != n_avail:
+        LOGGER.info("using %d of %d devices (batch %d divisibility)", n_dev,
+                    n_avail, cfg.batch_size)
+    mesh = make_mesh(n_dev)
 
     state = create_train_state(variables, opt_cfg)
     if resumed is not None:
@@ -234,7 +239,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
 
     step_fn = make_train_step(
         model, det_loss, opt_cfg, lf, nb=nb, warmup_iters=warmup_iters,
-        nominal_bs=64, batch_size=cfg.batch_size, det_gain=cfg.det_gain,
+        nominal_bs=cfg.nbs, batch_size=cfg.batch_size, det_gain=cfg.det_gain,
         seg_gain=cfg.seg_gain,
     )
 

@@ -128,6 +128,35 @@ def one_cycle_np(y1=1.0, y2=1.0, steps=100):
     return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
 
 
+def print_mutation(results: dict, hyp: dict, save_dir: str):
+    """Hyperparameter-evolution bookkeeping (general.py:769-805): append the
+    (metrics, hyp) row to evolve.csv and keep the best row in
+    hyp_evolve.yaml. (The reference kept only this helper; the evolve loop
+    itself was not ported from YOLOv5.)"""
+    import csv
+
+    os.makedirs(save_dir, exist_ok=True)
+    csv_path = os.path.join(save_dir, "evolve.csv")
+    keys = list(results.keys()) + list(hyp.keys())
+    vals = list(results.values()) + list(hyp.values())
+    new = not os.path.exists(csv_path)
+    with open(csv_path, "a", newline="") as f:
+        w = csv.writer(f)
+        if new:
+            w.writerow(keys)
+        w.writerow([f"{float(v):.5g}" for v in vals])
+
+    # keep best generation in yaml
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    fit_key = "fitness" if "fitness" in results else keys[0]
+    best = max(rows, key=lambda r: float(r[fit_key]))
+    with open(os.path.join(save_dir, "hyp_evolve.yaml"), "w") as f:
+        f.write(f"# best of {len(rows)} generations "
+                f"({fit_key}={best[fit_key]})\n")
+        yaml.safe_dump({k: float(best[k]) for k in hyp}, f)
+
+
 class EarlyStopping:
     """Fitness-plateau stopper (torch_utils.py:284-301)."""
 

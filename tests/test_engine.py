@@ -1,0 +1,94 @@
+"""Engine smoke: 1-epoch end-to-end train -> checkpoint -> val -> predictor
+API on a generated micro-dataset (CPU, tiny model, 64px)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+from make_fake_dataset import generate  # noqa: E402
+
+from desenet_tpu.train.engine import TrainConfig, train
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+@pytest.fixture(scope="module")
+def micro_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("micro")
+    generate(str(root), n_train=8, n_val=4, size=96, seed=5)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def train_run(micro_root, tmp_path_factory):
+    out = tmp_path_factory.mktemp("runs")
+    cfg = TrainConfig(
+        data=os.path.join(micro_root, "data.yaml"),
+        cfg=os.path.join(HERE, "configs", "tiny_psp2.yaml"),
+        epochs=2, batch_size=4, imgsz=64, workers=2,
+        project=str(out), name="smoke", exist_ok=True,
+        dtype="float32", patience=10, nbs=4, warmup_floor=4,
+        noautoanchor=True, use_tb=False, max_targets=32,
+    )
+    return train(cfg)
+
+
+def test_train_produces_artifacts(train_run):
+    sd = train_run["save_dir"]
+    assert os.path.exists(os.path.join(sd, "results.csv"))
+    assert os.path.exists(os.path.join(sd, "last", "meta.json"))
+    assert os.path.exists(os.path.join(sd, "hyp.yaml"))
+    with open(os.path.join(sd, "results.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 epochs
+    vals = lines[-1].split(",")
+    assert all(v == "" or np.isfinite(float(v)) for v in vals)
+
+
+def test_resume_continues(train_run, micro_root):
+    sd = train_run["save_dir"]
+    cfg = TrainConfig(
+        data=os.path.join(micro_root, "data.yaml"),
+        cfg=os.path.join(HERE, "configs", "tiny_psp2.yaml"),
+        epochs=3, batch_size=4, imgsz=64, workers=2,
+        project=os.path.dirname(sd), name="smoke", exist_ok=True,
+        dtype="float32", nbs=4, warmup_floor=4, noautoanchor=True,
+        use_tb=False, max_targets=32,
+        resume=os.path.join(sd, "last"),
+    )
+    out = train(cfg)
+    with open(os.path.join(out["save_dir"], "results.csv")) as f:
+        lines = f.read().strip().splitlines()
+    # resumed from epoch 2 -> exactly one more epoch row appended
+    assert lines[-1].startswith("2,")
+
+
+def test_predictor_api(train_run, micro_root):
+    from desenet_tpu.api import load_predictor
+
+    pred = load_predictor(os.path.join(train_run["save_dir"], "last"),
+                          imgsz=64, half=False)
+    img = os.path.join(micro_root, "Images", "val", "img_0000.jpg")
+    res = pred([img, img])
+    assert len(res) == 2
+    assert res.masks[0].shape == (96, 96)
+    assert isinstance(res.to_dicts(), list)
+    rendered = res.render()
+    assert rendered[0].shape == (96, 96, 3)
+
+
+def test_validator_on_checkpoint(train_run, micro_root):
+    from desenet_tpu.cli.val import run
+
+    results = run(
+        os.path.join(micro_root, "data.yaml"),
+        os.path.join(train_run["save_dir"], "last"),
+        batch_size=4, imgsz=64, half=False, workers=2,
+    )
+    assert results["seen"] == 4
+    assert 0 <= results["miou"] <= 1
+    assert np.isfinite(results["map50"])
