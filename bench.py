@@ -21,7 +21,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = 32
+BATCH = 128
 SIZE = 640
 BASELINE_IMG_S = 2000.0  # BASELINE.md north-star target
 ITERS = 16
@@ -61,7 +61,7 @@ def main():
 
     img_s = BATCH / dt
     print(json.dumps({
-        "metric": "joint_det_seg_inference_throughput_b32_640",
+        "metric": "joint_det_seg_inference_throughput_b128_640",
         "value": round(img_s, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 3),

@@ -1,15 +1,19 @@
 """Fixed-shape, on-device non-max suppression.
 
 Replaces the reference's host-side dynamic-shape ``torchvision.ops.nms`` path
-(core/utils/general.py:659-750) with an XLA-compilable formulation:
+(core/utils/general.py:659-750) with an XLA/Pallas-compilable formulation:
 
 - candidates are reduced to a static ``pre_topk`` set by score (the reference
   caps at max_nms=30000; at conf>thresh the live candidate count is far below
   our default cap — raise ``pre_topk`` for exact val parity runs)
 - the class-offset trick (cls * 4096 added to coords, general.py:732) makes one
   class-agnostic pass equivalent to per-class NMS
-- greedy suppression runs as a ``lax.fori_loop`` of ``max_det`` argmax-pick /
-  mask-suppress steps — identical keep-set to torchvision's sequential NMS
+- greedy suppression is exact (same keep-set as torchvision's sequential
+  kernel) with two backends:
+    'pallas' — one Mosaic kernel advancing the whole batch per iteration
+               with early exit (ops/nms_pallas.py); default on TPU
+    'xla'    — a lax.fori_loop of argmax-pick / mask-suppress steps; default
+               elsewhere (and reference semantics oracle in tests)
 - output is a fixed (max_det, 6) [xyxy, conf, cls] block plus a validity mask,
   so decode+NMS lives inside the same jit as the forward pass.
 
@@ -39,7 +43,7 @@ class NMSOutput(NamedTuple):
 
 
 def _greedy_nms(boxes, scores, iou_thres, max_det):
-    """Sequential greedy NMS on a fixed-size candidate set.
+    """Sequential greedy NMS on a fixed-size candidate set (XLA backend).
 
     boxes: (K,4) xyxy (already class-offset), scores: (K,) with invalid
     candidates at -1. Returns indices (max_det,) into the candidate set and a
@@ -68,21 +72,18 @@ def _greedy_nms(boxes, scores, iou_thres, max_det):
     return keep_idx, keep_ok
 
 
-def _single_image_nms(
-    pred, conf_thres, iou_thres, max_det, pre_topk, multi_label, agnostic, nc
-):
-    """pred: (A, 5+nc) [xywh, obj, cls...] -> fixed (max_det, 6) detections."""
+def _prep_candidates(pred, conf_thres, pre_topk, multi_label, nc):
+    """Per-image candidate selection: (A, 5+nc) -> top (K,4)/(K,)/(K,)."""
     obj = pred[:, 4]
     cand = obj > conf_thres  # general.py:668
     box = xywh2xyxy(pred[:, :4])  # (A,4)
     cls_conf = pred[:, 5:] * obj[:, None]  # conf = obj * cls (general.py:703)
 
     if multi_label and nc > 1:
-        # every (anchor, class) pair above threshold is a candidate
         scores_mat = jnp.where(
             cand[:, None] & (cls_conf > conf_thres), cls_conf, -1.0
         )  # (A, nc)
-        flat_scores = scores_mat.reshape(-1)  # (A*nc,)
+        flat_scores = scores_mat.reshape(-1)
         top_scores, top_flat = jax.lax.top_k(flat_scores, pre_topk)
         anchor_idx = top_flat // nc
         cls_idx = (top_flat % nc).astype(jnp.float32)
@@ -94,15 +95,7 @@ def _single_image_nms(
         top_scores, anchor_idx = jax.lax.top_k(scores, pre_topk)
         cls_idx = best_cls[anchor_idx]
         top_boxes = box[anchor_idx]
-
-    offset = 0.0 if agnostic else MAX_WH
-    nms_boxes = top_boxes + cls_idx[:, None] * offset
-    keep_idx, keep_ok = _greedy_nms(nms_boxes, top_scores, iou_thres, max_det)
-
-    out_boxes = jnp.where(keep_ok[:, None], top_boxes[keep_idx], 0.0)
-    out_scores = jnp.where(keep_ok, top_scores[keep_idx], 0.0)
-    out_cls = jnp.where(keep_ok, cls_idx[keep_idx], -1.0)
-    return out_boxes, out_scores, out_cls, keep_ok, jnp.sum(keep_ok).astype(jnp.int32)
+    return top_boxes, top_scores, cls_idx
 
 
 @functools.partial(
@@ -114,6 +107,7 @@ def _single_image_nms(
         "pre_topk",
         "multi_label",
         "agnostic",
+        "backend",
     ),
 )
 def non_max_suppression(
@@ -124,6 +118,7 @@ def non_max_suppression(
     pre_topk: int = 2048,
     multi_label: bool = False,
     agnostic: bool = False,
+    backend: str = "auto",
 ) -> NMSOutput:
     """Batched fixed-shape NMS.
 
@@ -132,18 +127,39 @@ def non_max_suppression(
     """
     nc = prediction.shape[2] - 5
     pre_topk = min(pre_topk, prediction.shape[1] * (nc if multi_label else 1))
-    fn = functools.partial(
-        _single_image_nms,
-        conf_thres=conf_thres,
-        iou_thres=iou_thres,
-        max_det=max_det,
-        pre_topk=pre_topk,
-        multi_label=multi_label,
-        agnostic=agnostic,
-        nc=nc,
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    prep = functools.partial(
+        _prep_candidates, conf_thres=conf_thres, pre_topk=pre_topk,
+        multi_label=multi_label, nc=nc,
     )
-    boxes, scores, classes, valid, num = jax.vmap(fn)(prediction.astype(jnp.float32))
-    return NMSOutput(boxes, scores, classes, valid, num)
+    top_boxes, top_scores, cls_idx = jax.vmap(prep)(
+        prediction.astype(jnp.float32)
+    )
+
+    offset = 0.0 if agnostic else MAX_WH
+    nms_boxes = top_boxes + cls_idx[..., None] * offset
+
+    if backend == "pallas":
+        from desenet_tpu.ops.nms_pallas import greedy_nms_pallas
+
+        keep_idx, keep_sc = greedy_nms_pallas(
+            nms_boxes, top_scores, iou_thres, max_det
+        )
+        keep_ok = keep_sc > 0.0
+    else:
+        keep_idx, keep_ok = jax.vmap(
+            functools.partial(_greedy_nms, iou_thres=iou_thres,
+                              max_det=max_det)
+        )(nms_boxes, top_scores)
+
+    take = jax.vmap(lambda a, i: a[i])
+    out_boxes = jnp.where(keep_ok[..., None], take(top_boxes, keep_idx), 0.0)
+    out_scores = jnp.where(keep_ok, take(top_scores, keep_idx), 0.0)
+    out_cls = jnp.where(keep_ok, take(cls_idx, keep_idx), -1.0)
+    num = jnp.sum(keep_ok, axis=1).astype(jnp.int32)
+    return NMSOutput(out_boxes, out_scores, out_cls, keep_ok, num)
 
 
 def batched_nms(boxes, scores, classes, iou_thres=0.45, max_det=300, agnostic=False):
