@@ -70,17 +70,23 @@ def _adaptive_pool_matrix(n_in: int, n_out: int) -> np.ndarray:
 def _apply_separable(x: jax.Array, mh: np.ndarray, mw: np.ndarray) -> jax.Array:
     """Contract NHWC x with per-axis (out,in) matrices.
 
-    precision=HIGHEST keeps the MXU in fp32 passes for these contractions —
-    interpolation weights are exact dyadic/rational values and the seg-mIoU
-    parity gate is sensitive to resample error; these matrices are tiny
-    relative to the conv FLOPs so fp32 here costs ~nothing.
+    Precision rule: fp32 inputs use HIGHEST (full-fp32 MXU passes) — the
+    parity gates (mIoU within 1%, golden tests at 2e-5) are sensitive to
+    resample error and TPU default fp32 matmul is bf16-grade. bf16 inputs
+    keep DEFAULT precision: the data has ~3 decimal digits anyway and the
+    fp32 passes would triple the pass count on the production path.
     """
     dt = x.dtype
-    a = jnp.asarray(mh, dtype=jnp.float32)
-    b = jnp.asarray(mw, dtype=jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
-    y = jnp.einsum("oh,nhwc->nowc", a, x.astype(jnp.float32), precision=hi)
-    y = jnp.einsum("pw,nhwc->nhpc", b, y, precision=hi)
+    if dt == jnp.bfloat16:
+        prec = jax.lax.Precision.DEFAULT
+        cdt = jnp.bfloat16
+    else:
+        prec = jax.lax.Precision.HIGHEST
+        cdt = jnp.float32
+    a = jnp.asarray(mh, dtype=cdt)
+    b = jnp.asarray(mw, dtype=cdt)
+    y = jnp.einsum("oh,nhwc->nowc", a, x.astype(cdt), precision=prec)
+    y = jnp.einsum("pw,nhwc->nhpc", b, y, precision=prec)
     return y.astype(dt)
 
 
