@@ -48,6 +48,7 @@ def run(
     nosave=False,
     classes=None,
     agnostic_nms=False,
+    augment=False,
     line_thickness=3,
     hide_labels=False,
     hide_conf=False,
@@ -77,6 +78,10 @@ def run(
     def infer(variables, img_u8):
         x = img_u8.astype(dtype) / 255.0
         (dec, _), seg = model.apply(variables, x, train=False)
+        if augment:  # TTA ensembling (detect.py --augment)
+            from desenet_tpu.eval.tta import forward_augment
+
+            dec = forward_augment(model, variables, x)
         nms = non_max_suppression(
             dec, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
             pre_topk=2048, agnostic=agnostic_nms,
@@ -199,6 +204,7 @@ def parse_opt(argv=None):
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--classes", nargs="+", type=int)
     p.add_argument("--agnostic-nms", action="store_true")
+    p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--line-thickness", type=int, default=3)
     p.add_argument("--hide-labels", action="store_true")
     p.add_argument("--hide-conf", action="store_true")
@@ -215,8 +221,8 @@ def main(argv=None):
     return run(
         o.weights, o.source, o.img_size, o.conf_thres, o.iou_thres,
         o.max_det, o.save_txt, o.save_conf, o.save_crop, o.nosave, o.classes,
-        o.agnostic_nms, o.line_thickness, o.hide_labels, o.hide_conf,
-        not o.no_half, o.project, o.name, o.exist_ok,
+        o.agnostic_nms, o.augment, o.line_thickness, o.hide_labels,
+        o.hide_conf, not o.no_half, o.project, o.name, o.exist_ok,
     )
 
 

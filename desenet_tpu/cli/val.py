@@ -37,6 +37,7 @@ def run(
     plots=False,
     save_dir="",
     workers=8,
+    augment=False,
 ):
     data = check_dataset(data)
     variables, meta = load_inference_variables(weights)
@@ -59,7 +60,7 @@ def run(
     validator = Validator(
         model, nc=nc, se_nc=se_nc, conf_thres=conf_thres,
         iou_thres=iou_thres, single_cls=single_cls, plots=plots,
-        save_dir=save_dir, names=names,
+        save_dir=save_dir, names=names, augment=augment,
     )
     results = validator.run(variables, loader)
 
@@ -122,6 +123,7 @@ def parse_opt(argv=None):
     p.add_argument("--plots", action="store_true")
     p.add_argument("--save-dir", type=str, default="runs/val")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--augment", action="store_true", help="TTA inference")
     return p.parse_args(argv)
 
 
@@ -141,7 +143,7 @@ def main(argv=None):
     return run(
         o.data, o.weights, o.batch_size, o.img_size, o.conf_thres,
         o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
-        o.plots, o.save_dir, o.workers,
+        o.plots, o.save_dir, o.workers, o.augment,
     )
 
 

@@ -453,11 +453,15 @@ def pad_det_targets(dets: Sequence[np.ndarray], max_targets: int):
 
 
 def collate(samples, max_targets: int = 128):
-    """Samples -> fixed-shape batch dict for the jitted train/eval step."""
+    """Samples -> fixed-shape batch dict for the jitted train/eval step.
+    Image packing goes through the native GIL-free assembler when built
+    (native/fastops.cpp), else np.stack."""
+    from desenet_tpu.native import assemble_batch
+
     imgs, dets, segs, paths, shapes = zip(*samples)
     det_t, det_m = pad_det_targets(dets, max_targets)
     return {
-        "image": np.stack(imgs, 0),
+        "image": assemble_batch(list(imgs)),
         "det_targets": det_t,
         "det_mask": det_m,
         "seg_labels": np.stack(segs, 0).astype(np.int32),

@@ -73,6 +73,7 @@ class Validator:
         plots: bool = False,
         save_dir: str = "",
         names: Optional[Dict[int, str]] = None,
+        augment: bool = False,
     ):
         self.model = model
         self.nc = nc
@@ -85,6 +86,7 @@ class Validator:
         self.plots = plots
         self.save_dir = save_dir
         self.names = names or {i: str(i) for i in range(nc)}
+        self.augment = augment
         self.iouv = np.linspace(0.5, 0.95, 10)
         self._step_cache = {}
 
@@ -93,10 +95,16 @@ class Validator:
             return self._step_cache[shape]
         model = self.model
 
+        augment = self.augment
+
         @jax.jit
         def step(variables, img_u8):
             x = img_u8.astype(model.dtype) / 255.0
             (dec, feats), seg = model.apply(variables, x, train=False)
+            if augment:  # TTA: scales+flips ensembled before NMS
+                from desenet_tpu.eval.tta import forward_augment
+
+                dec = forward_augment(model, variables, x)
             nms = non_max_suppression(
                 dec,
                 conf_thres=self.conf_thres,

@@ -1,0 +1,110 @@
+"""ctypes bridge to the native host-pipeline kernels (native/fastops.cpp).
+
+Auto-builds libfastops.so on first import when a compiler is present;
+everything degrades to the pure-Python implementations when not. Opt out
+with DESENET_NATIVE=0.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+LOGGER = logging.getLogger("desenet_tpu")
+
+_LIB: Optional[ctypes.CDLL] = None
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libfastops.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if os.environ.get("DESENET_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:  # no toolchain — fall back silently
+            LOGGER.debug("fastops build failed: %s", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.assemble_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.rasterize_polygons.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.rasterize_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.fastops_version.restype = ctypes.c_int
+        assert lib.fastops_version() == 1
+        _LIB = lib
+        LOGGER.info("fastops native library loaded")
+    except Exception as e:
+        LOGGER.debug("fastops load failed: %s", e)
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def assemble_batch(samples: Sequence[np.ndarray]) -> np.ndarray:
+    """Pack N identical-shape uint8 arrays into one (N, ...) batch with a
+    GIL-free parallel memcpy; falls back to np.stack."""
+    lib = _load()
+    if lib is None or not samples:
+        return np.stack(samples, 0)
+    shape = samples[0].shape
+    n = len(samples)
+    out = np.empty((n, *shape), np.uint8)
+    srcs = [np.ascontiguousarray(s, dtype=np.uint8) for s in samples]
+    arr = (ctypes.c_void_p * n)(
+        *[s.ctypes.data_as(ctypes.c_void_p).value for s in srcs]
+    )
+    lib.assemble_batch(out.ctypes.data_as(ctypes.c_void_p), arr, n,
+                       int(np.prod(shape)))
+    return out
+
+
+def rasterize_polygons_native(
+    seg: Sequence[Tuple[int, np.ndarray]], hw: Tuple[int, int]
+) -> Optional[np.ndarray]:
+    """Native scanline rasterization. Returns None when the library is
+    unavailable (caller uses the PIL path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    mask = np.zeros(hw, np.int32)
+    polys = [p for _, p in seg if len(p) > 2]
+    ids = [int(c) for c, p in seg if len(p) > 2]
+    if not polys:
+        return mask
+    flat = np.ascontiguousarray(
+        np.concatenate([p.astype(np.float32) for p in polys], 0)
+    )
+    counts = np.asarray([len(p) for p in polys], np.int64)
+    cls = np.asarray(ids, np.int32)
+    lib.rasterize_polygons(
+        mask.ctypes.data_as(ctypes.c_void_p), hw[0], hw[1],
+        flat.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        cls.ctypes.data_as(ctypes.c_void_p), len(polys),
+    )
+    return mask
