@@ -190,6 +190,71 @@ def flip_lr(img, det, seg):
     return img, det, seg
 
 
+def mixup(img1, det1, seg1, img2, det2, seg2, rng: np.random.Generator):
+    """MixUp two samples (mixed_datasets.py:500-506, beta(8,8) ratio). Seg
+    polygon lists are concatenated (rasterization resolves overlaps)."""
+    r = rng.beta(8.0, 8.0)
+    img = (img1.astype(np.float32) * r
+           + img2.astype(np.float32) * (1 - r)).astype(np.uint8)
+    det = np.concatenate([det1, det2], 0) if len(det1) or len(det2) else det1
+    return img, det, list(seg1) + list(seg2)
+
+
+def cutout(img: np.ndarray, det: np.ndarray, rng: np.random.Generator):
+    """Random occlusion cutouts with obscured-label removal
+    (legacy datasets.py:748-791)."""
+    h, w = img.shape[:2]
+    scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 + \
+        [0.03125] * 16
+    for s in scales:
+        mh, mw = int(rng.uniform(0, h * s)), int(rng.uniform(0, w * s))
+        cx, cy = int(rng.uniform(0, w)), int(rng.uniform(0, h))
+        x1, y1 = max(cx - mw // 2, 0), max(cy - mh // 2, 0)
+        x2, y2 = min(w, x1 + mw), min(h, y1 + mh)
+        img[y1:y2, x1:x2] = [int(rng.uniform(64, 191)) for _ in range(3)]
+        if len(det) and s > 0.03:
+            box = np.array([x1, y1, x2, y2], np.float32)
+            b = det[:, 1:5]
+            iw = np.clip(np.minimum(box[2], b[:, 2]) - np.maximum(box[0], b[:, 0]), 0, None)
+            ih = np.clip(np.minimum(box[3], b[:, 3]) - np.maximum(box[1], b[:, 1]), 0, None)
+            area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) + 1e-16
+            det = det[iw * ih / area < 0.60]
+    return img, det
+
+
+def hist_equalize(img: np.ndarray, clahe: bool = True, bgr: bool = True):
+    """Histogram equalization on the Y channel (legacy datasets.py:57-66)."""
+    yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV if bgr else cv2.COLOR_RGB2YUV)
+    if clahe:
+        c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        yuv[:, :, 0] = c.apply(yuv[:, :, 0])
+    else:
+        yuv[:, :, 0] = cv2.equalizeHist(yuv[:, :, 0])
+    return cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR if bgr else cv2.COLOR_YUV2RGB)
+
+
+def replicate_labels(img: np.ndarray, det: np.ndarray,
+                     rng: np.random.Generator):
+    """Duplicate the smallest-half boxes elsewhere in the image
+    (legacy datasets.py:712-727). det: (n,5) [cls, x1,y1,x2,y2] pixels."""
+    h, w = img.shape[:2]
+    if not len(det):
+        return img, det
+    boxes = det[:, 1:5]
+    x1, y1, x2, y2 = boxes.T
+    s = ((x2 - x1) + (y2 - y1)) / 2
+    for i in s.argsort()[: len(s) // 2]:
+        x1b, y1b, x2b, y2b = (int(v) for v in boxes[i])
+        bh, bw = y2b - y1b, x2b - x1b
+        yc = int(rng.uniform(0, max(h - bh, 1)))
+        xc = int(rng.uniform(0, max(w - bw, 1)))
+        img[yc:yc + bh, xc:xc + bw] = img[y1b:y2b, x1b:x2b]
+        det = np.concatenate(
+            [det, [[det[i, 0], xc, yc, xc + bw, yc + bh]]], 0
+        ).astype(det.dtype)
+    return img, det
+
+
 def denorm_boxes(xywhn: np.ndarray, w, h, padw=0.0, padh=0.0) -> np.ndarray:
     """normalized xywh -> pixel xyxy with offset (general.py:535-543)."""
     out = np.empty_like(xywhn)

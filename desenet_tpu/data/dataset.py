@@ -323,6 +323,13 @@ class MixedDataset:
             img, det, seg = self._load_mosaic(index, rng)
             shapes = None
             do_persp = False  # mosaic already applied random_perspective
+            if rng.random() < hyp.get("mixup", 0.0):
+                from desenet_tpu.data.augment import mixup
+
+                img2, det2, seg2 = self._load_mosaic(
+                    int(rng.integers(self.n)), rng
+                )
+                img, det, seg = mixup(img, det, seg, img2, det2, seg2, rng)
         else:
             img, (h0, w0), (h, w) = self.load_image(index)
             shape = (
@@ -432,6 +439,125 @@ class MixedDataset:
             border=self.mosaic_border,
         )
         return img4, det4, seg_all
+
+    def _load_mosaic9(self, index: int, rng: np.random.Generator):
+        """9-image 3x3 mosaic (legacy datasets.py load_mosaic9, extended to
+        carry seg polygons like the 4-image variant)."""
+        s = self.img_size
+        idxs = [index] + list(rng.choice(self.n, 8))
+        canvas = np.full((s * 3, s * 3, 3), PAD_VALUE, np.uint8)
+        det9, seg9 = [], []
+        hp = wp = h0 = w0 = -1
+        for i, idx in enumerate(idxs):
+            img, _, (h, w) = self.load_image(int(idx))
+            if i == 0:
+                h0, w0 = h, w
+            c = _mosaic9_position(i, s, w, h, w0, h0, wp, hp)
+            padw, padh = c[0], c[1]
+            x1, y1, x2, y2 = (max(v, 0) for v in c)
+            canvas[y1:y2, x1:x2] = img[y1 - padh:, x1 - padw:][
+                : y2 - y1, : x2 - x1
+            ]
+            hp, wp = h, w
+
+            det = self.det_labels[int(idx)].copy()
+            if len(det):
+                det[:, 1:] = denorm_boxes(det[:, 1:], w, h, padw, padh)
+            det9.append(det)
+            seg9.append(denorm_polys(
+                [(cc, p.copy()) for cc, p in self.seg_labels[int(idx)]],
+                w, h, padw, padh,
+            ))
+
+        yc = int(rng.uniform(0, s))
+        xc = int(rng.uniform(0, s))
+        canvas = canvas[yc:yc + 2 * s, xc:xc + 2 * s]
+        det9 = np.concatenate(det9, 0) if det9 else np.zeros((0, 5), np.float32)
+        if len(det9):
+            det9[:, [1, 3]] -= xc
+            det9[:, [2, 4]] -= yc
+            det9[:, 1:] = det9[:, 1:].clip(0, 2 * s)
+        seg_all = []
+        for part in seg9:
+            for cc, p in part:
+                q = p - np.asarray([xc, yc], np.float32)
+                seg_all.append((cc, q.clip(0, 2 * s)))
+        return random_perspective(
+            canvas, det9, seg_all, rng,
+            degrees=self.hyp.get("degrees", 0.0),
+            translate=self.hyp.get("translate", 0.0),
+            scale=self.hyp.get("scale", 0.0),
+            shear=self.hyp.get("shear", 0.0),
+            perspective=self.hyp.get("perspective", 0.0),
+            border=self.mosaic_border,
+        )
+
+
+def _mosaic9_position(i, s, w, h, w0, h0, wp, hp):
+    """Placement rectangle for the i-th tile of a 3x3 mosaic (legacy
+    datasets.py load_mosaic9 layout)."""
+    return [
+        (s, s, s + w, s + h),
+        (s, s - h, s + w, s),
+        (s + wp, s - h, s + wp + w, s),
+        (s + w0, s, s + w0 + w, s + h),
+        (s + w0, s + hp, s + w0 + w, s + hp + h),
+        (s + w0 - w, s + h0, s + w0, s + h0 + h),
+        (s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h),
+        (s - w, s + h0 - h, s, s + h0),
+        (s - w, s + h0 - hp - h, s, s + h0 - hp),
+    ][i]
+
+
+def collate_quad(samples, max_targets: int = 128):
+    """Quad collate (mixed_datasets.py:591-620 collate_fn4): groups of 4
+    samples become either one 2x2 super-image (labels offset+scaled, seg
+    masks tiled) or a random 2x-upscaled single (seg via nearest)."""
+    assert len(samples) >= 4 and len(samples) % 4 == 0
+    rng = np.random.default_rng(len(samples))
+    out_imgs, out_dets, out_segs, out_paths, out_shapes = [], [], [], [], []
+    for g in range(len(samples) // 4):
+        quad = samples[g * 4:(g + 1) * 4]
+        imgs, dets, segs, paths, shapes = zip(*quad)
+        h, w = imgs[0].shape[:2]
+        if rng.random() < 0.5:  # 2x upscale of the first sample
+            im = cv2.resize(imgs[0], (w * 2, h * 2),
+                            interpolation=cv2.INTER_LINEAR)
+            dl = dets[0].copy()
+            sl = cv2.resize(segs[0].astype(np.uint8), (w * 2, h * 2),
+                            interpolation=cv2.INTER_NEAREST).astype(np.int32)
+        else:  # 2x2 tiling
+            top = np.concatenate([imgs[0], imgs[1]], axis=1)
+            bot = np.concatenate([imgs[2], imgs[3]], axis=1)
+            im = np.concatenate([top, bot], axis=0)
+            offs = [(0, 0), (0.5, 0), (0, 0.5), (0.5, 0.5)]  # (dx, dy)
+            dls = []
+            for d, (dx, dy) in zip(dets, offs):
+                if not len(d):
+                    continue
+                d = d.copy()
+                d[:, 1] = d[:, 1] * 0.5 + dx
+                d[:, 2] = d[:, 2] * 0.5 + dy
+                d[:, 3:5] *= 0.5
+                dls.append(d)
+            dl = np.concatenate(dls, 0) if dls else np.zeros((0, 5), np.float32)
+            st = np.concatenate([segs[0], segs[1]], axis=1)
+            sb = np.concatenate([segs[2], segs[3]], axis=1)
+            sl = np.concatenate([st, sb], axis=0)
+        out_imgs.append(im)
+        out_dets.append(dl)
+        out_segs.append(sl)
+        out_paths.append(paths[0])
+        out_shapes.append(shapes[0])
+    det_t, det_m = pad_det_targets(out_dets, max_targets)
+    return {
+        "image": np.stack(out_imgs, 0),
+        "det_targets": det_t,
+        "det_mask": det_m,
+        "seg_labels": np.stack(out_segs, 0).astype(np.int32),
+        "paths": out_paths,
+        "shapes": out_shapes,
+    }
 
 
 def pad_det_targets(dets: Sequence[np.ndarray], max_targets: int):

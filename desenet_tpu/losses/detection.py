@@ -64,6 +64,16 @@ def qfocal_bce_with_logits(logits, targets, gamma: float, alpha: float = 0.25,
     return loss * alpha_factor * jnp.abs(targets - p) ** gamma
 
 
+def bce_blur_with_logits(logits, targets, alpha: float = 0.05):
+    """Missing-label-tolerant BCE (loss.py:18-32; unused by the default
+    recipe but part of the loss library). Returns the mean."""
+    loss = bce_with_logits(logits, targets)
+    p = jax.nn.sigmoid(logits)
+    dx = p - targets
+    alpha_factor = 1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4))
+    return jnp.mean(loss * alpha_factor)
+
+
 @dataclasses.dataclass(frozen=True)
 class DetectionLoss:
     """Functional ComputeLoss. Construct once per model; call inside jit.

@@ -877,6 +877,32 @@ class CrossConv(nn.Module):
         return y
 
 
+class Sum(nn.Module):
+    """(Optionally learnably-weighted) sum of N inputs
+    (experimental.py:25-36)."""
+
+    n: int
+    weight: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        y = xs[0]
+        if self.weight:
+            w = self.param(
+                "w",
+                lambda key, shape: -jnp.arange(1.0, shape[0] + 1.0) / 2.0,
+                (self.n - 1,),
+            )
+            w = jax.nn.sigmoid(w) * 2.0
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i]
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y
+
+
 class MixConv2d(nn.Module):
     """Mixed-kernel-size grouped conv (experimental.py:39-55)."""
 

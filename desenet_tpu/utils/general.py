@@ -128,6 +128,144 @@ def one_cycle_np(y1=1.0, y2=1.0, steps=100):
     return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
 
 
+class Timeout:
+    """SIGALRM timeout context (general.py:56-74); seconds=0 disables."""
+
+    def __init__(self, seconds: int, timeout_msg: str = "",
+                 suppress_timeout_errors: bool = True):
+        import signal
+
+        self.seconds = int(seconds)
+        self.msg = timeout_msg
+        self.suppress = suppress_timeout_errors
+        self._signal = signal
+
+    def _handler(self, signum, frame):
+        raise TimeoutError(self.msg)
+
+    def __enter__(self):
+        if self.seconds > 0:
+            self._signal.signal(self._signal.SIGALRM, self._handler)
+            self._signal.alarm(self.seconds)
+
+    def __exit__(self, exc_type, exc, tb):
+        if self.seconds > 0:
+            self._signal.alarm(0)
+        if self.suppress and exc_type is TimeoutError:
+            return True
+        return False
+
+
+def try_except(func):
+    """Exception-swallowing decorator (general.py:77-85)."""
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        try:
+            return func(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — by design
+            LOGGER.warning("%s: %s", func.__name__, e)
+
+    return wrapper
+
+
+def check_suffix(file, suffix=(".ckpt",), msg=""):
+    """Assert file(s) carry an accepted suffix (general.py check_suffix)."""
+    if isinstance(suffix, str):
+        suffix = (suffix,)
+    for f in file if isinstance(file, (list, tuple)) else [file]:
+        s = Path(f).suffix.lower()
+        if s:
+            assert s in suffix, f"{msg}{f} acceptable suffix is {suffix}"
+
+
+def check_file(file: str) -> str:
+    """Resolve a file locally (search cwd + package dirs); the reference also
+    auto-downloads URLs (general.py check_file) — zero-egress here."""
+    file = str(file)
+    if os.path.isfile(file) or not file:
+        return file
+    if file.startswith(("http:/", "https:/")):
+        raise FileNotFoundError(
+            f"cannot download {file}: this build is offline; fetch it "
+            "manually and pass a local path"
+        )
+    found = glob.glob(os.path.join("**", file), recursive=True)
+    assert found, f"file not found: {file}"
+    assert len(found) == 1, f"multiple matches for {file}: {found}"
+    return found[0]
+
+
+def check_yaml(file, suffix=(".yaml", ".yml")):
+    check_suffix(file, suffix)
+    return check_file(file)
+
+
+def print_args(name: str, opt):
+    LOGGER.info("%s: %s", colorstr(name + ": "),
+                ", ".join(f"{k}={v}" for k, v in vars(opt).items()))
+
+
+def user_config_dir(dir_name: str = "desenet_tpu", env_var: str =
+                    "DESENET_CONFIG_DIR") -> Path:
+    """Writable per-user config dir (general.py user_config_dir)."""
+    env = os.getenv(env_var)
+    if env:
+        path = Path(env)
+    else:
+        path = Path.home() / ".config" / dir_name
+    path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def coco80_to_coco91_class() -> List[int]:
+    """COCO 80-class index -> paper 91-class ids (general.py:478-487)."""
+    return [
+        1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20,
+        21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40,
+        41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58,
+        59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79,
+        80, 81, 82, 84, 85, 86, 87, 88, 89, 90,
+    ]
+
+
+def save_one_box(xyxy, im, file="crop.jpg", gain=1.02, pad=10, square=False,
+                 BGR=True, save=True):
+    """Crop a (padded, optionally squared) box from an image and save it
+    (general.py save_one_box)."""
+    import cv2
+    import numpy as _np
+
+    b = _np.asarray(xyxy, _np.float32).reshape(4)
+    cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+    bw, bh = (b[2] - b[0]), (b[3] - b[1])
+    if square:
+        bw = bh = max(bw, bh)
+    bw, bh = bw * gain + pad, bh * gain + pad
+    x1 = int(max(cx - bw / 2, 0))
+    y1 = int(max(cy - bh / 2, 0))
+    x2 = int(min(cx + bw / 2, im.shape[1]))
+    y2 = int(min(cy + bh / 2, im.shape[0]))
+    crop = im[y1:y2, x1:x2, :: (1 if BGR else -1)]
+    if save:
+        Path(file).parent.mkdir(parents=True, exist_ok=True)
+        cv2.imwrite(str(file), crop)
+    return crop
+
+
+def attempt_download(file, url: str = ""):
+    """Reference google_utils.attempt_download fetches release assets; this
+    build is zero-egress, so only local resolution is supported."""
+    p = Path(str(file))
+    if p.exists():
+        return str(p)
+    raise FileNotFoundError(
+        f"{file} not found locally and downloads are disabled in this "
+        f"offline build{' (wanted ' + url + ')' if url else ''}"
+    )
+
+
 def print_mutation(results: dict, hyp: dict, save_dir: str):
     """Hyperparameter-evolution bookkeeping (general.py:769-805): append the
     (metrics, hyp) row to evolve.csv and keep the best row in

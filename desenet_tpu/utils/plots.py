@@ -186,6 +186,167 @@ def output_to_target(nms_out) -> np.ndarray:
     return np.asarray(rows) if rows else np.zeros((0, 7))
 
 
+def segoutput_to_target(seg_logits: np.ndarray, out_hw) -> np.ndarray:
+    """Seg logits (B,H,W,C) -> argmax class ids nearest-resized to out_hw
+    (reference plots.py:222-229, used by val/detect postprocessing)."""
+    pred = np.argmax(np.asarray(seg_logits), axis=-1).astype(np.uint8)
+    if pred.shape[1:3] == tuple(out_hw):
+        return pred
+    return np.stack([
+        cv2.resize(p, (out_hw[1], out_hw[0]),
+                   interpolation=cv2.INTER_NEAREST)
+        for p in pred
+    ])
+
+
+def plot_labels(det_labels, names=None, save_dir: str = ""):
+    """Label statistics panel: class histogram + box center/size scatter
+    (plots.py plot_labels, without the seaborn correlogram)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = np.concatenate([l for l in det_labels if len(l)], 0) \
+        if any(len(l) for l in det_labels) else np.zeros((0, 5))
+    fig, ax = plt.subplots(2, 2, figsize=(8, 8), tight_layout=True)
+    ax = ax.ravel()
+    if len(rows):
+        classes = rows[:, 0].astype(int)
+        nc = int(classes.max()) + 1
+        ax[0].bar(range(nc), np.bincount(classes, minlength=nc),
+                  color="#3477eb")
+        ax[0].set_xlabel("class")
+        if names and len(names) == nc:
+            ax[0].set_xticks(range(nc), list(names), rotation=90, fontsize=7)
+        ax[1].scatter(rows[:, 1], rows[:, 2], s=3, alpha=0.3)
+        ax[1].set_xlabel("x")
+        ax[1].set_ylabel("y")
+        ax[2].scatter(rows[:, 3], rows[:, 4], s=3, alpha=0.3)
+        ax[2].set_xlabel("width")
+        ax[2].set_ylabel("height")
+        ax[3].hist2d(rows[:, 3], rows[:, 4], bins=50)
+        ax[3].set_xlabel("width")
+        ax[3].set_ylabel("height")
+    out = os.path.join(save_dir, "labels.jpg")
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
+def plot_lr_scheduler(lr_fn, epochs: int, save_dir: str = ""):
+    """LR-schedule curve (plots.py plot_lr_scheduler). lr_fn: epoch->lr."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ys = [float(lr_fn(e)) for e in range(epochs)]
+    plt.figure()
+    plt.plot(ys, ".-", label="LR")
+    plt.xlabel("epoch")
+    plt.ylabel("LR")
+    plt.grid()
+    out = os.path.join(save_dir, "LR.png")
+    plt.savefig(out, dpi=200)
+    plt.close()
+    return out
+
+
+def plot_evolve(csv_path: str, out_path: Optional[str] = None):
+    """Hyperparameter-evolution scatter grid (plots.py plot_evolve)."""
+    import csv as _csv
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(csv_path) as f:
+        rows = list(_csv.DictReader(f))
+    if not rows:
+        return None
+    keys = list(rows[0].keys())
+    fit_key = "fitness" if "fitness" in keys else keys[0]
+    fit = np.array([float(r[fit_key]) for r in rows])
+    hyp_keys = [k for k in keys if k != fit_key]
+    ncols = 5
+    nrows_ = math.ceil(len(hyp_keys) / ncols)
+    fig, axes = plt.subplots(nrows_, ncols, figsize=(3 * ncols, 2.5 * nrows_),
+                             tight_layout=True)
+    axes = np.atleast_1d(axes).ravel()
+    for ax, k in zip(axes, hyp_keys):
+        vals = np.array([float(r[k]) for r in rows])
+        ax.scatter(vals, fit, c=fit, cmap="viridis", s=12)
+        ax.set_title(k, fontsize=8)
+    for ax in axes[len(hyp_keys):]:
+        ax.axis("off")
+    out = out_path or os.path.join(os.path.dirname(csv_path), "evolve.png")
+    fig.savefig(out, dpi=200)
+    plt.close(fig)
+    return out
+
+
+def feature_visualization(x: np.ndarray, module_type: str, stage: int,
+                          n: int = 32, save_dir: str = "runs/features"):
+    """Per-stage feature-map grid dump (plots.py:524-549). x: NHWC activation
+    of one stage; saves up to n channel maps of image 0."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x, np.float32)
+    if x.ndim != 4:
+        return None
+    c = min(n, x.shape[-1])
+    cols = 8
+    rows_ = math.ceil(c / cols)
+    fig, axes = plt.subplots(rows_, cols, figsize=(cols * 1.5, rows_ * 1.5),
+                             tight_layout=True)
+    axes = np.atleast_1d(axes).ravel()
+    for i in range(c):
+        axes[i].imshow(x[0, :, :, i], cmap="gray")
+        axes[i].axis("off")
+    for ax in axes[c:]:
+        ax.axis("off")
+    os.makedirs(save_dir, exist_ok=True)
+    out = os.path.join(save_dir, f"stage{stage}_{module_type}.png")
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+def visualize_model_features(model, variables, x, save_dir="runs/features",
+                             max_layers: int = 32):
+    """Run the model with flax capture_intermediates and dump a feature grid
+    per layer (the reference's Model.forward(visualize=...) hook,
+    yolo.py:354-355)."""
+    import flax
+    import jax.numpy as jnp
+
+    _, mods = model.apply(
+        variables, jnp.asarray(x), train=False,
+        capture_intermediates=lambda mdl, name: name == "__call__",
+        mutable=["intermediates"],
+    )
+    inter = flax.traverse_util.flatten_dict(mods["intermediates"])
+    outs = []
+    for path, val in sorted(inter.items(), key=lambda kv: "/".join(kv[0])):
+        if len(path) != 2:  # only top-level layers l{i}/__call__
+            continue
+        v = val[0]
+        arr = v[0] if isinstance(v, (tuple, list)) else v
+        if hasattr(arr, "ndim") and arr.ndim == 4:
+            outs.append(feature_visualization(
+                np.asarray(arr, np.float32), path[0], len(outs),
+                save_dir=save_dir,
+            ))
+        if len(outs) >= max_layers:
+            break
+    return outs
+
+
 def plot_results(csv_path: str, out_path: Optional[str] = None):
     """results.csv -> training curves png (plots.py plot_results)."""
     import csv as _csv
