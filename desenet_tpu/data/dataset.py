@@ -303,10 +303,9 @@ class MixedDataset:
         w0, h0 = img.size
         r = self.img_size / max(w0, h0)
         if r != 1:
-            img = img.resize(
-                (int(w0 * r), int(h0 * r)),
-                Image.LANCZOS if r < 1 else Image.BILINEAR,
-            )
+            # LANCZOS for down- AND up-scaling — the reference uses
+            # Image.ANTIALIAS unconditionally (mixed_datasets.py:638)
+            img = img.resize((int(w0 * r), int(h0 * r)), Image.LANCZOS)
         arr = cv2.cvtColor(np.asarray(img.convert("RGB")), cv2.COLOR_RGB2BGR)
         return arr, (h0, w0), arr.shape[:2]
 

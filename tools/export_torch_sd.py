@@ -1,0 +1,62 @@
+"""Export a desenet_tpu checkpoint to a PyTorch-layout state_dict (.npz).
+
+The inverse of tools/import_torch_ckpt.py: every flax leaf is renamed with
+utils/torch_convert.flax_path_to_torch_key and transposed back to torch
+layout (HWIO -> OIHW, (in,out) -> (out,in)). The npz can be loaded into the
+reference Model with:
+
+    sd = {k: torch.from_numpy(v) for k, v in np.load(path).items()}
+    model.load_state_dict(sd, strict=False)   # quirk-BNs keep torch init
+
+Used by the val-parity harness (tools/run_ref_val.py) and by users migrating
+back to the torch reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+from flax import traverse_util
+
+from desenet_tpu.models import build_model, config_path
+from desenet_tpu.utils.checkpoint import load_inference_variables
+from desenet_tpu.utils.torch_convert import flax_path_to_torch_key
+
+
+def to_torch_tensor(x: np.ndarray, leaf: str) -> np.ndarray:
+    if x.ndim == 4:
+        return np.transpose(x, (3, 2, 0, 1))  # HWIO -> OIHW
+    if x.ndim == 2 and leaf == "kernel":
+        return np.transpose(x, (1, 0))
+    return x
+
+
+def export_state_dict(weights_dir: str):
+    variables, meta = load_inference_variables(weights_dir)
+    assert meta is not None
+    _, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
+                          se_nc=meta["se_nc"])
+    out = {}
+    for col in ("params", "batch_stats"):
+        if col not in variables or not variables[col]:
+            continue
+        for path, val in traverse_util.flatten_dict(variables[col]).items():
+            tkey = flax_path_to_torch_key(path, spec)
+            out[tkey] = to_torch_tensor(np.asarray(val, np.float32), path[-1])
+    return out, meta, spec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("weights_dir")
+    ap.add_argument("out_npz")
+    args = ap.parse_args()
+    sd, meta, spec = export_state_dict(args.weights_dir)
+    np.savez(args.out_npz, **sd)
+    print(f"exported {len(sd)} tensors -> {args.out_npz} "
+          f"(cfg={meta['cfg']}, de_nc={spec.de_nc}, se_nc={spec.se_nc})")
+
+
+if __name__ == "__main__":
+    main()
