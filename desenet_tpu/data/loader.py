@@ -19,9 +19,15 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
+import cv2
 import numpy as np
 
 from desenet_tpu.data.dataset import MixedDataset, collate
+
+# our own thread pool provides the parallelism; cv2's internal threading on
+# top of it oversubscribes cores (the reference hits the same clash,
+# general.py:40 cv2.setNumThreads(0))
+cv2.setNumThreads(0)
 
 
 class DataLoader:

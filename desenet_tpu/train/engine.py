@@ -345,10 +345,17 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
             "x/lr": float(opt_cfg.lr0 * lf(epoch)),
         }
         callbacks.run("on_fit_epoch_end", row)
+        mem = ""
+        try:  # device memory in the epoch line (train.py:382 pbar analog)
+            ms = jax.local_devices()[0].memory_stats()
+            if ms and "bytes_in_use" in ms:
+                mem = f"  mem {ms['bytes_in_use'] / 2**30:.1f}G"
+        except Exception:
+            pass
         LOGGER.info(
             "epoch %d done in %.1fs  mAP50 %.4f mAP %.4f mIoU %.4f fitness "
-            "%.4f", epoch, time.time() - t_ep, results["map50"],
-            results["map"], results["miou"], fi,
+            "%.4f%s", epoch, time.time() - t_ep, results["map50"],
+            results["map"], results["miou"], fi, mem,
         )
 
         if fi > best_fitness:

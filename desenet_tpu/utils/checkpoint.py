@@ -81,17 +81,61 @@ def strip_checkpoint(path: str, out_path: str):
             json.dump(payload["meta"], f, indent=1)
 
 
+def migrate_focus_params(variables):
+    """Upgrade checkpoints saved with an unfused Focus stem (params under
+    l{i}/conv/{conv,bn}) to the fused-conv layout (l{i}/{conv,bn}) via the
+    exact space-to-depth weight rearrangement. Migration candidates are
+    identified from the params tree (a nested ConvBnAct whose kernel input
+    channels are 4x the raw image channels), then applied to every
+    collection."""
+    params = variables.get("params", {})
+    migrate = set()
+    for lname, sub in params.items():
+        try:
+            w = np.asarray(sub["conv"]["conv"]["conv2d"]["kernel"])
+        except (KeyError, TypeError):
+            continue
+        if set(sub) == {"conv"} and w.ndim == 4 and w.shape[2] % 4 == 0:
+            migrate.add(lname)
+    if not migrate:
+        return variables
+
+    out = {}
+    for col, tree in variables.items():
+        tree = dict(tree)
+        for lname in migrate:
+            if lname not in tree:
+                continue
+            inner = tree[lname]["conv"]  # Focus ConvBnAct: {conv:{conv2d},bn}
+            new = {}
+            if "conv" in inner:
+                w4 = np.asarray(inner["conv"]["conv2d"]["kernel"])
+                k, _, c4, o = w4.shape
+                c = c4 // 4
+                w6 = np.zeros((2 * k, 2 * k, c, o), w4.dtype)
+                for oy in range(2):
+                    for ox in range(2):
+                        s = oy + 2 * ox
+                        w6[oy::2, ox::2] = w4[:, :, c * s:c * (s + 1), :]
+                new["conv"] = {"conv2d": {"kernel": w6}}
+            if "bn" in inner:
+                new["bn"] = inner["bn"]
+            tree[lname] = new
+        out[col] = tree
+    return out
+
+
 def load_inference_variables(path: str):
     """Load variables for model.apply from either a stripped or full ckpt,
     preferring EMA weights (experimental.py:85-108 attempt_load
-    semantics)."""
+    semantics). Focus-era checkpoints are migrated to the fused stem."""
     payload = load_checkpoint(path)
     params = payload.get("ema_params") or payload.get("params")
     stats = payload.get("ema_batch_stats") or payload.get("batch_stats")
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
-    return variables, payload.get("meta")
+    return migrate_focus_params(variables), payload.get("meta")
 
 
 def intersect_trees(src, dst):

@@ -160,6 +160,10 @@ def flax_path_to_torch_key(path: Tuple[str, ...], spec: ModelSpec) -> str:
                 break
     elif ls.name == "Detect":
         inner = re.sub(r"^m(\d+)/", r"m.\1/", inner)
+    elif ls.name == "FusedFocus":
+        # the fused stem is one ConvBnAct; its torch source is the Focus
+        # module's inner Conv: model.i.conv.{conv,bn}.*
+        inner = "conv/" + inner
 
     leaf_src = inner.rsplit("/", 1)[-1]
     body = inner[: -(len(leaf_src) + 1)] if "/" in inner else ""
@@ -184,6 +188,40 @@ def _to_flax_tensor(t: np.ndarray, flax_leaf: str) -> np.ndarray:
     return t
 
 
+def _focus_kernel_to_conv(w: np.ndarray) -> np.ndarray:
+    """Exact Focus -> fused-conv weight rearrangement.
+
+    torch Focus conv weight (O, 4*C, k, k) over the space-to-depth input
+    becomes a (2k, 2k, C, O) HWIO kernel over the raw image: tap
+    (2*di + oy, 2*dj + ox) takes the w[:, C*(oy + 2*ox):.., di, dj] block
+    (slice concat order [(0,0), (1,0), (0,1), (1,1)] in (oy, ox),
+    common.py:626).
+    """
+    o, c4, k, _ = w.shape
+    c = c4 // 4
+    out = np.zeros((2 * k, 2 * k, c, o), w.dtype)
+    for oy in range(2):
+        for ox in range(2):
+            s = oy + 2 * ox
+            blk = w[:, c * s:c * (s + 1)]  # (O, C, k, k)
+            out[oy::2, ox::2] = np.transpose(blk, (2, 3, 1, 0))
+    return out
+
+
+def _conv_kernel_to_focus(w6: np.ndarray) -> np.ndarray:
+    """Inverse of _focus_kernel_to_conv: (2k,2k,C,O) HWIO -> (O,4C,k,k)."""
+    kk, _, c, o = w6.shape
+    k = kk // 2
+    out = np.zeros((o, 4 * c, k, k), w6.dtype)
+    for oy in range(2):
+        for ox in range(2):
+            s = oy + 2 * ox
+            out[:, c * s:c * (s + 1)] = np.transpose(
+                w6[oy::2, ox::2], (3, 2, 0, 1)
+            )
+    return out
+
+
 def convert_state_dict(
     torch_sd: Dict[str, np.ndarray],
     template_vars,
@@ -196,6 +234,9 @@ def convert_state_dict(
     Returns (variables, report) where report lists unused torch keys and any
     missing flax leaves.
     """
+    fused_focus_layers = {
+        f"l{ls.i}" for ls in spec.layers if ls.name == "FusedFocus"
+    }
     out = {}
     used = set()
     missing = []
@@ -208,7 +249,10 @@ def convert_state_dict(
                 missing.append((col, "/".join(path), tkey))
                 new_flat[path] = val
                 continue
-            t = _to_flax_tensor(np.asarray(torch_sd[tkey]), path[-1])
+            if path[0] in fused_focus_layers and path[-1] == "kernel":
+                t = _focus_kernel_to_conv(np.asarray(torch_sd[tkey]))
+            else:
+                t = _to_flax_tensor(np.asarray(torch_sd[tkey]), path[-1])
             if tuple(t.shape) != tuple(val.shape):
                 raise ValueError(
                     f"shape mismatch {tkey} {t.shape} -> {'/'.join(path)} {val.shape}"

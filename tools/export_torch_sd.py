@@ -37,13 +37,20 @@ def export_state_dict(weights_dir: str):
     assert meta is not None
     _, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
                           se_nc=meta["se_nc"])
+    from desenet_tpu.utils.torch_convert import _conv_kernel_to_focus
+
+    fused = {f"l{ls.i}" for ls in spec.layers if ls.name == "FusedFocus"}
     out = {}
     for col in ("params", "batch_stats"):
         if col not in variables or not variables[col]:
             continue
         for path, val in traverse_util.flatten_dict(variables[col]).items():
             tkey = flax_path_to_torch_key(path, spec)
-            out[tkey] = to_torch_tensor(np.asarray(val, np.float32), path[-1])
+            if path[0] in fused and path[-1] == "kernel":
+                out[tkey] = _conv_kernel_to_focus(np.asarray(val, np.float32))
+            else:
+                out[tkey] = to_torch_tensor(np.asarray(val, np.float32),
+                                            path[-1])
     return out, meta, spec
 
 
