@@ -53,6 +53,8 @@ def parse_opt(argv=None):
                    help="nominal batch size for grad accumulation")
     p.add_argument("--warmup-floor", type=int, default=1000,
                    help="minimum warmup iterations")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations (bigger batches)")
     return p.parse_args(argv)
 
 
@@ -71,7 +73,7 @@ def main(argv=None):
         n_devices=o.n_devices, use_tb=not o.no_tb,
         noautoanchor=o.noautoanchor, multi_scale=o.multi_scale,
         image_weights=o.image_weights, nbs=o.nbs,
-        warmup_floor=o.warmup_floor,
+        warmup_floor=o.warmup_floor, remat=o.remat,
     )
     results = train(cfg)
     print(

@@ -278,6 +278,8 @@ class DeSeNet(nn.Module):
 
     spec: ModelSpec
     dtype: Dtype = jnp.float32
+    remat: bool = False  # rematerialize block activations (trade FLOPs for
+    # HBM; enables ~2x larger training batches at 640px)
 
     def setup(self):
         mods = {}
@@ -332,12 +334,18 @@ class DeSeNet(nn.Module):
                 seg_out = out
             else:
                 m = self._mods[f"l{ls.i}"]
+
+                def run_mod(mod, y, _train=train):
+                    return mod(y, train=_train)
+
+                if self.remat and train:
+                    run_mod = nn.remat(run_mod)
                 if isinstance(m, tuple):
                     out = inp
                     for sub in m:
-                        out = sub(out, train=train)
+                        out = run_mod(sub, out)
                 else:
-                    out = m(inp, train=train)
+                    out = run_mod(m, inp)
 
             if ls.i in self.spec.save:
                 cache[ls.i] = out
@@ -347,11 +355,11 @@ class DeSeNet(nn.Module):
 
 def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 se_nc: Optional[int] = None, anchors: Optional[Sequence] = None,
-                fuse_focus: bool = True,
+                fuse_focus: bool = True, remat: bool = False,
                 dtype=jnp.float32) -> Tuple[DeSeNet, ModelSpec]:
     spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors,
                         fuse_focus=fuse_focus)
-    return DeSeNet(spec=spec, dtype=dtype), spec
+    return DeSeNet(spec=spec, dtype=dtype, remat=remat), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):

@@ -93,6 +93,7 @@ class TrainConfig:
     nbs: int = 64  # nominal batch size for grad accumulation (train.py:146)
     warmup_floor: int = 1000  # min warmup iterations (train.py:287 hardcodes
     # 1000; configurable here because it swamps small-dataset runs)
+    remat: bool = False  # rematerialize activations (bigger batches)
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -125,7 +126,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     model, spec = build_model(config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
-                              dtype=dtype)
+                              remat=cfg.remat, dtype=dtype)
     imgsz = check_img_size(cfg.imgsz, s=max(spec.det_strides))
 
     variables = init_model(model, jax.random.PRNGKey(cfg.seed),
@@ -181,7 +182,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         if changed:
             model, spec = build_model(
                 config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
-                anchors=new_anchors, dtype=dtype,
+                anchors=new_anchors, remat=cfg.remat, dtype=dtype,
             )
 
     # loss gains scaled like train.py:258-260
