@@ -319,7 +319,10 @@ class MixedDataset:
         hyp = self.hyp
 
         if self.mosaic and rng.random() < hyp.get("mosaic", 0.0):
-            img, det, seg = self._load_mosaic(index, rng)
+            if rng.random() < hyp.get("mosaic9", 0.0):
+                img, det, seg = self._load_mosaic9(index, rng)
+            else:
+                img, det, seg = self._load_mosaic(index, rng)
             shapes = None
             do_persp = False  # mosaic already applied random_perspective
             if rng.random() < hyp.get("mixup", 0.0):
