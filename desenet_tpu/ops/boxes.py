@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -164,9 +165,7 @@ def bbox_iou(box1, box2, x1y1x2y2=True, GIoU=False, DIoU=False, CIoU=False, eps=
             return iou - rho2 / c2
         # CIoU https://arxiv.org/abs/1911.08287v1
         v = (4 / math.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
-        # alpha uses stop_gradient in the torch impl (torch.no_grad)
-        import jax
-
+        # alpha uses stop_gradient like the torch impl (torch.no_grad)
         alpha = jax.lax.stop_gradient(v / (v - iou + (1 + eps)))
         return iou - (rho2 / c2 + v * alpha)
     # GIoU https://arxiv.org/pdf/1902.09630.pdf
