@@ -128,6 +128,30 @@ def one_cycle_np(y1=1.0, y2=1.0, steps=100):
     return lambda x: ((1 - math.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
 
 
+def check_environment(min_python=(3, 10)) -> Dict:
+    """Environment banner + sanity checks — the reference's
+    check_python/check_requirements/check_git_status analog (general.py:
+    187-316) reduced to what matters here: interpreter version, JAX backend,
+    device inventory. No pip auto-install (offline builds)."""
+    import platform
+    import sys as _sys
+
+    assert _sys.version_info >= min_python, (
+        f"python {min_python} required, running {platform.python_version()}"
+    )
+    info = {"python": platform.python_version()}
+    try:
+        import jax
+
+        info["jax"] = jax.__version__
+        info["backend"] = jax.default_backend()
+        info["devices"] = [str(d) for d in jax.devices()]
+    except Exception as e:  # noqa: BLE001
+        info["jax_error"] = str(e)
+    LOGGER.info("environment: %s", info)
+    return info
+
+
 class Timeout:
     """SIGALRM timeout context (general.py:56-74); seconds=0 disables."""
 
