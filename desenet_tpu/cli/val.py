@@ -38,6 +38,9 @@ def run(
     save_dir="",
     workers=8,
     augment=False,
+    save_txt=False,
+    save_conf=False,
+    save_json=False,
 ):
     data = check_dataset(data)
     variables, meta = load_inference_variables(weights)
@@ -61,6 +64,7 @@ def run(
         model, nc=nc, se_nc=se_nc, conf_thres=conf_thres,
         iou_thres=iou_thres, single_cls=single_cls, plots=plots,
         save_dir=save_dir, names=names, augment=augment,
+        save_txt=save_txt, save_conf=save_conf, save_json=save_json,
     )
     results = validator.run(variables, loader)
 
@@ -124,6 +128,9 @@ def parse_opt(argv=None):
     p.add_argument("--save-dir", type=str, default="runs/val")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--augment", action="store_true", help="TTA inference")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--save-json", action="store_true")
     return p.parse_args(argv)
 
 
@@ -143,7 +150,8 @@ def main(argv=None):
     return run(
         o.data, o.weights, o.batch_size, o.img_size, o.conf_thres,
         o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
-        o.plots, o.save_dir, o.workers, o.augment,
+        o.plots, o.save_dir, o.workers, o.augment, o.save_txt, o.save_conf,
+        o.save_json,
     )
 
 

@@ -74,6 +74,9 @@ class Validator:
         save_dir: str = "",
         names: Optional[Dict[int, str]] = None,
         augment: bool = False,
+        save_txt: bool = False,
+        save_conf: bool = False,
+        save_json: bool = False,
     ):
         self.model = model
         self.nc = nc
@@ -87,6 +90,9 @@ class Validator:
         self.save_dir = save_dir
         self.names = names or {i: str(i) for i in range(nc)}
         self.augment = augment
+        self.save_txt = save_txt
+        self.save_conf = save_conf
+        self.save_json = save_json
         self.iouv = np.linspace(0.5, 0.95, 10)
         self._step_cache = {}
 
@@ -120,9 +126,46 @@ class Validator:
         self._step_cache[shape] = step
         return step
 
+    def _save_one_txt(self, predn, shape0, path):
+        """Per-image normalized-xywh prediction txt (val.py:79-86)."""
+        import os
+
+        label_dir = os.path.join(self.save_dir, "labels")
+        os.makedirs(label_dir, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(str(path)))[0]
+        gn = np.asarray([shape0[1], shape0[0], shape0[1], shape0[0]],
+                        np.float64)
+        with open(os.path.join(label_dir, stem + ".txt"), "a") as f:
+            for *xyxy, conf, cls in predn.tolist():
+                xywh = [
+                    (xyxy[0] + xyxy[2]) / 2 / gn[0],
+                    (xyxy[1] + xyxy[3]) / 2 / gn[1],
+                    (xyxy[2] - xyxy[0]) / gn[2],
+                    (xyxy[3] - xyxy[1]) / gn[3],
+                ]
+                row = ([cls, *xywh, conf] if self.save_conf else [cls, *xywh])
+                f.write(" ".join(f"{v:g}" for v in row) + "\n")
+
+    def _append_json(self, predn, path):
+        """COCO-format prediction records (val.py:89-98)."""
+        import os
+
+        stem = os.path.splitext(os.path.basename(str(path)))[0]
+        image_id = int(stem) if stem.isnumeric() else stem
+        for *xyxy, conf, cls in predn.tolist():
+            self.jdict.append({
+                "image_id": image_id,
+                "category_id": int(cls),
+                "bbox": [round(xyxy[0], 3), round(xyxy[1], 3),
+                         round(xyxy[2] - xyxy[0], 3),
+                         round(xyxy[3] - xyxy[1], 3)],
+                "score": round(conf, 5),
+            })
+
     def run(self, variables, loader) -> Dict[str, float]:
         stats = []
         seen = 0
+        self.jdict = []
         seg_m = SegMetrics(self.se_nc)
         cm = ConfusionMatrix(nc=self.nc) if self.plots else None
         dt = [0.0, 0.0, 0.0]
@@ -181,6 +224,12 @@ class Validator:
                 else:
                     correct = np.zeros((n, 10), bool)
                 stats.append((correct, pred[:, 4], pred[:, 5], tcls))
+
+                path = batch.get("paths", [None] * len(nums))[si]
+                if self.save_txt and path and self.save_dir:
+                    self._save_one_txt(predn, shape0, path)
+                if self.save_json and path:
+                    self._append_json(predn, path)
             dt[0] += t1 - t0
             dt[1] += t2 - t1
             dt[2] += time.perf_counter() - t2
@@ -210,6 +259,13 @@ class Validator:
                     )
         if cm is not None and self.save_dir:
             cm.plot(save_dir=self.save_dir, names=list(self.names.values()))
+        if self.save_json and self.jdict and self.save_dir:
+            import json
+            import os
+
+            with open(os.path.join(self.save_dir, "predictions.json"),
+                      "w") as f:
+                json.dump(self.jdict, f)
         out["speed_ms"] = tuple(x / max(seen, 1) * 1e3 for x in dt)
         return out
 

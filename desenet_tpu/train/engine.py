@@ -141,12 +141,17 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                     int(resumed["counters"]["epoch"]))
     elif cfg.weights:
         payload = ckpt.load_checkpoint(cfg.weights)
-        src = payload.get("ema_params") or payload["params"]
-        variables["params"], n = ckpt.intersect_trees(src, variables["params"])
-        if payload.get("batch_stats"):
+        src_vars = ckpt.migrate_focus_params({
+            "params": payload.get("ema_params") or payload["params"],
+            "batch_stats": (payload.get("ema_batch_stats")
+                            or payload.get("batch_stats") or {}),
+        })
+        variables["params"], n = ckpt.intersect_trees(
+            src_vars["params"], variables["params"]
+        )
+        if src_vars["batch_stats"]:
             variables["batch_stats"], _ = ckpt.intersect_trees(
-                payload["ema_batch_stats"] or payload["batch_stats"],
-                variables["batch_stats"],
+                src_vars["batch_stats"], variables["batch_stats"]
             )
         LOGGER.info("transferred %d tensors from %s", n, cfg.weights)
 
