@@ -16,7 +16,7 @@ and run as one fused jit (forward + decode + NMS + seg argmax).
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional, Sequence, Union
+from typing import List, Sequence, Union
 
 import cv2
 import jax

@@ -156,10 +156,23 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         LOGGER.info("transferred %d tensors from %s", n, cfg.weights)
 
     # loaders -----------------------------------------------------------
+    # stage: loader threads device_put the next batches while the step runs
+    # (double-buffered HBM staging; multi-scale runs unstaged host batches)
+    _mesh_holder = {}
+
+    def _stage(batch):
+        if cfg.multi_scale or "mesh" not in _mesh_holder:
+            return batch
+        staged = {k: v for k, v in batch.items()
+                  if k not in ("paths", "shapes")}
+        return {**shard_batch(staged, _mesh_holder["mesh"]),
+                "paths": batch["paths"], "shapes": batch["shapes"]}
+
     train_loader, train_ds = create_mixed_dataloader(
         data["train"], img_size=imgsz, batch_size=cfg.batch_size, augment=True,
         hyp=hyp, stride=max(spec.det_strides), single_cls=cfg.single_cls,
         workers=cfg.workers, max_targets=cfg.max_targets, seed=cfg.seed,
+        stage=_stage,
     )
     val_loader, val_ds = create_mixed_dataloader(
         data["val"], img_size=imgsz, batch_size=cfg.batch_size, augment=False,
@@ -227,6 +240,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         LOGGER.info("using %d of %d devices (batch %d divisibility)", n_dev,
                     n_avail, cfg.batch_size)
     mesh = make_mesh(n_dev)
+    _mesh_holder["mesh"] = mesh
 
     state = create_train_state(variables, opt_cfg)
     if resumed is not None:
@@ -284,6 +298,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         for i, batch in enumerate(train_loader):
             batch.pop("paths", None)
             batch.pop("shapes", None)
+            already_staged = not isinstance(batch["image"], np.ndarray)
             if cfg.multi_scale:
                 # random 0.5-1.5x size, stride-multiple buckets
                 # (train.py:343-348); one jit specialization per bucket
@@ -302,7 +317,8 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                                     interpolation=_cv2.INTER_NEAREST)
                         for m in batch["seg_labels"]
                     ]).astype(np.int32)
-            batch = shard_batch(batch, mesh)
+            if not already_staged:
+                batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             if (i + 1) % max(nb // 4, 1) == 0 or i == nb - 1:
