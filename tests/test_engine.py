@@ -92,3 +92,23 @@ def test_validator_on_checkpoint(train_run, micro_root):
     assert results["seen"] == 4
     assert 0 <= results["miou"] <= 1
     assert np.isfinite(results["map50"])
+
+
+def test_multiscale_and_image_weights(micro_root, tmp_path_factory):
+    out = tmp_path_factory.mktemp("runs_ms")
+    cfg = TrainConfig(
+        data=os.path.join(micro_root, "data.yaml"),
+        cfg=os.path.join(HERE, "configs", "tiny_psp2.yaml"),
+        epochs=2, batch_size=4, imgsz=64, workers=2,
+        project=str(out), name="ms", exist_ok=True,
+        dtype="float32", nbs=4, warmup_floor=4, noautoanchor=True,
+        use_tb=False, max_targets=32, noval=True,
+        multi_scale=True, image_weights=True,
+    )
+    res = train(cfg)
+    with open(os.path.join(res["save_dir"], "results.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 3
+    # losses finite through randomly-resized batches
+    vals = [v for v in lines[-1].split(",") if v != ""]
+    assert all(np.isfinite(float(v)) for v in vals)
