@@ -141,7 +141,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                     int(resumed["counters"]["epoch"]))
     elif cfg.weights:
         payload = ckpt.load_checkpoint(cfg.weights)
-        src_vars = ckpt.migrate_focus_params({
+        src_vars = ckpt.migrate_legacy({
             "params": payload.get("ema_params") or payload["params"],
             "batch_stats": (payload.get("ema_batch_stats")
                             or payload.get("batch_stats") or {}),

@@ -125,17 +125,81 @@ def migrate_focus_params(variables):
     return out
 
 
+def migrate_unfused_c3(variables):
+    """Upgrade checkpoints with the unfused C3 layout (separate cv1/cv2
+    ConvBnActs) to the fused cv12/bn12 layout (models/layers.py C3) by
+    concatenating kernels along O and BN params per channel — exact."""
+    params = variables.get("params", {})
+
+    def find_sites(d, path=()):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if ("cv1" in v and "cv2" in v and "cv3" in v and "m_0" in v
+                        and "cv4" not in v
+                        and isinstance(v.get("cv1"), dict)
+                        and "conv" in v["cv1"]
+                        and isinstance(v.get("cv2"), dict)
+                        and "conv" in v["cv2"]):
+                    yield path + (k,)
+                yield from find_sites(v, path + (k,))
+
+    sites = list(find_sites(params))
+    if not sites:
+        return variables
+
+    def deep_copy(d):
+        return {k: deep_copy(v) if isinstance(v, dict) else v
+                for k, v in d.items()}
+
+    out = {col: deep_copy(tree) for col, tree in variables.items()}
+    for col, tree in out.items():
+        for site in sites:
+            sub = tree
+            ok = True
+            for s in site:
+                if not isinstance(sub, dict) or s not in sub:
+                    ok = False
+                    break
+                sub = sub[s]
+            if not ok or "cv1" not in sub or "cv2" not in sub:
+                continue
+            cv1 = sub.pop("cv1")
+            cv2 = sub.pop("cv2")
+            if col == "params" and "conv" in cv1:
+                k = np.concatenate(
+                    [np.asarray(cv1["conv"]["conv2d"]["kernel"]),
+                     np.asarray(cv2["conv"]["conv2d"]["kernel"])], axis=-1,
+                )
+                sub["cv12"] = {"conv2d": {"kernel": k}}
+            if "bn" in cv1:
+                bn = {
+                    kk: np.concatenate(
+                        [np.asarray(cv1["bn"]["bn"][kk]),
+                         np.asarray(cv2["bn"]["bn"][kk])], axis=0,
+                    )
+                    for kk in cv1["bn"]["bn"]
+                }
+                sub["bn12"] = {"bn": bn}
+    return out
+
+
+def migrate_legacy(variables):
+    """All checkpoint-layout migrations (fused Focus stem, fused C3)."""
+    return migrate_unfused_c3(migrate_focus_params(variables))
+
+
 def load_inference_variables(path: str):
     """Load variables for model.apply from either a stripped or full ckpt,
     preferring EMA weights (experimental.py:85-108 attempt_load
-    semantics). Focus-era checkpoints are migrated to the fused stem."""
+    semantics). Legacy layouts (unfused Focus stem / unfused C3) migrate
+    automatically."""
     payload = load_checkpoint(path)
     params = payload.get("ema_params") or payload.get("params")
     stats = payload.get("ema_batch_stats") or payload.get("batch_stats")
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
-    return migrate_focus_params(variables), payload.get("meta")
+    return migrate_legacy(variables), payload.get("meta")
 
 
 def intersect_trees(src, dst):

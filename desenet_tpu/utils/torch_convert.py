@@ -222,6 +222,23 @@ def _conv_kernel_to_focus(w6: np.ndarray) -> np.ndarray:
     return out
 
 
+def fused_csp_sources(path: Tuple[str, ...]):
+    """For a fused-C3 leaf (cv12 / bn12, models/layers.py C3), return the two
+    unfused flax pseudo-paths it merges plus the flax-side concat axis."""
+    p = list(path)
+    if "cv12" in p:
+        i = p.index("cv12")  # (..., cv12, conv2d, kernel)
+        p1 = p[:i] + ["cv1", "conv"] + p[i + 1:]
+        p2 = p[:i] + ["cv2", "conv"] + p[i + 1:]
+        return tuple(p1), tuple(p2), -1
+    if "bn12" in p:
+        i = p.index("bn12")  # (..., bn12, bn, leaf)
+        p1 = p[:i] + ["cv1", "bn"] + p[i + 1:]
+        p2 = p[:i] + ["cv2", "bn"] + p[i + 1:]
+        return tuple(p1), tuple(p2), 0
+    return None
+
+
 def convert_state_dict(
     torch_sd: Dict[str, np.ndarray],
     template_vars,
@@ -244,6 +261,28 @@ def convert_state_dict(
         flat = traverse_util.flatten_dict(template_vars[col])
         new_flat = {}
         for path, val in flat.items():
+            fs = fused_csp_sources(path)
+            if fs is not None:
+                p1, p2, ax = fs
+                k1 = flax_path_to_torch_key(p1, spec)
+                k2 = flax_path_to_torch_key(p2, spec)
+                if k1 not in torch_sd or k2 not in torch_sd:
+                    missing.append((col, "/".join(path), f"{k1}+{k2}"))
+                    new_flat[path] = val
+                    continue
+                t = np.concatenate(
+                    [_to_flax_tensor(np.asarray(torch_sd[k]), path[-1])
+                     for k in (k1, k2)], axis=ax,
+                )
+                used.add(k1)
+                used.add(k2)
+                if tuple(t.shape) != tuple(val.shape):
+                    raise ValueError(
+                        f"shape mismatch {k1}+{k2} {t.shape} -> "
+                        f"{'/'.join(path)} {val.shape}"
+                    )
+                new_flat[path] = t.astype(np.asarray(val).dtype)
+                continue
             tkey = flax_path_to_torch_key(path, spec)
             if tkey not in torch_sd:
                 missing.append((col, "/".join(path), tkey))

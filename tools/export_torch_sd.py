@@ -37,7 +37,10 @@ def export_state_dict(weights_dir: str):
     assert meta is not None
     _, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
                           se_nc=meta["se_nc"])
-    from desenet_tpu.utils.torch_convert import _conv_kernel_to_focus
+    from desenet_tpu.utils.torch_convert import (
+        _conv_kernel_to_focus,
+        fused_csp_sources,
+    )
 
     fused = {f"l{ls.i}" for ls in spec.layers if ls.name == "FusedFocus"}
     out = {}
@@ -45,12 +48,24 @@ def export_state_dict(weights_dir: str):
         if col not in variables or not variables[col]:
             continue
         for path, val in traverse_util.flatten_dict(variables[col]).items():
+            val = np.asarray(val, np.float32)
+            fs = fused_csp_sources(path)
+            if fs is not None:  # split fused C3 cv12/bn12 back into cv1+cv2
+                p1, p2, ax = fs
+                half = val.shape[ax] // 2
+                v1, v2 = np.split(val, [half], axis=ax)
+                out[flax_path_to_torch_key(p1, spec)] = to_torch_tensor(
+                    v1, path[-1]
+                )
+                out[flax_path_to_torch_key(p2, spec)] = to_torch_tensor(
+                    v2, path[-1]
+                )
+                continue
             tkey = flax_path_to_torch_key(path, spec)
             if path[0] in fused and path[-1] == "kernel":
-                out[tkey] = _conv_kernel_to_focus(np.asarray(val, np.float32))
+                out[tkey] = _conv_kernel_to_focus(val)
             else:
-                out[tkey] = to_torch_tensor(np.asarray(val, np.float32),
-                                            path[-1])
+                out[tkey] = to_torch_tensor(val, path[-1])
     return out, meta, spec
 
 
