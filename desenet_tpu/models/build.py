@@ -221,10 +221,13 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
     )
 
 
-def _instantiate(spec: LayerSpec, dtype, name: str) -> Optional[nn.Module]:
+def _instantiate(spec: LayerSpec, dtype, name: str,
+                 fused_csp: bool = True) -> Optional[nn.Module]:
     """LayerSpec -> flax module (None for parameterless graph ops)."""
     a = spec.args
     mk = {
+        "C3": lambda: L.C3(a[0], *(a[1:]), dtype=dtype, fused=fused_csp,
+                           name=name),
         "Conv": lambda: L.ConvBnAct(a[0], *(a[1:]), dtype=dtype, name=name),
         "DWConv": lambda: L.DWConv(0, a[0], *(a[1:]), dtype=dtype, name=name),
         "Focus": lambda: L.Focus(a[0], *(a[1:]), dtype=dtype, name=name),
@@ -233,7 +236,6 @@ def _instantiate(spec: LayerSpec, dtype, name: str) -> Optional[nn.Module]:
         "Bottleneck": lambda: L.Bottleneck(a[0], *(a[1:]), dtype=dtype, name=name),
         "BottleneckCSP": lambda: L.BottleneckCSP(a[0], *(a[1:]), dtype=dtype,
                                                  name=name),
-        "C3": lambda: L.C3(a[0], *(a[1:]), dtype=dtype, name=name),
         "C3TR": lambda: L.C3TR(a[0], *(a[1:]), dtype=dtype, name=name),
         "C3SPP": lambda: L.C3SPP(a[0], *(a[1:]), dtype=dtype, name=name),
         "C3Ghost": lambda: L.C3Ghost(a[0], *(a[1:]), dtype=dtype, name=name),
@@ -280,6 +282,9 @@ class DeSeNet(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False  # rematerialize block activations (trade FLOPs for
     # HBM; enables ~2x larger training batches at 640px)
+    fused_csp: bool = True  # fused C3 cv1+cv2 (faster inference; the engine
+    # trains with False — the backward prefers the split layout — and
+    # checkpoints convert exactly in both directions)
 
     def setup(self):
         mods = {}
@@ -297,11 +302,13 @@ class DeSeNet(nn.Module):
                     # outer repeats mirror torch's nn.Sequential wrapping:
                     # torch 'model.i.j.*' <-> flax 'l{i}s{j}/*'
                     mods[f"l{ls.i}"] = tuple(
-                        _instantiate(ls, self.dtype, name=f"l{ls.i}s{j}")
+                        _instantiate(ls, self.dtype, name=f"l{ls.i}s{j}",
+                                     fused_csp=self.fused_csp)
                         for j in range(ls.n)
                     )
                 else:
-                    m = _instantiate(ls, self.dtype, name=f"l{ls.i}")
+                    m = _instantiate(ls, self.dtype, name=f"l{ls.i}",
+                                     fused_csp=self.fused_csp)
                     if m is not None:
                         mods[f"l{ls.i}"] = m
         self._mods = mods
@@ -356,10 +363,12 @@ class DeSeNet(nn.Module):
 def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 se_nc: Optional[int] = None, anchors: Optional[Sequence] = None,
                 fuse_focus: bool = True, remat: bool = False,
+                fused_csp: bool = True,
                 dtype=jnp.float32) -> Tuple[DeSeNet, ModelSpec]:
     spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors,
                         fuse_focus=fuse_focus)
-    return DeSeNet(spec=spec, dtype=dtype, remat=remat), spec
+    return DeSeNet(spec=spec, dtype=dtype, remat=remat,
+                   fused_csp=fused_csp), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):

@@ -125,8 +125,11 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     de_names = (["item"] if cfg.single_cls else list(data["de"]["names"]))
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    # training uses the unfused C3 layout (its backward is ~15% faster than
+    # the fused variant; inference loaders auto-migrate checkpoints back to
+    # the fused layout)
     model, spec = build_model(config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
-                              remat=cfg.remat, dtype=dtype)
+                              remat=cfg.remat, fused_csp=False, dtype=dtype)
     imgsz = check_img_size(cfg.imgsz, s=max(spec.det_strides))
 
     variables = init_model(model, jax.random.PRNGKey(cfg.seed),
@@ -141,11 +144,11 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                     int(resumed["counters"]["epoch"]))
     elif cfg.weights:
         payload = ckpt.load_checkpoint(cfg.weights)
-        src_vars = ckpt.migrate_legacy({
+        src_vars = ckpt.defuse_c3(ckpt.migrate_legacy({
             "params": payload.get("ema_params") or payload["params"],
             "batch_stats": (payload.get("ema_batch_stats")
                             or payload.get("batch_stats") or {}),
-        })
+        }))
         variables["params"], n = ckpt.intersect_trees(
             src_vars["params"], variables["params"]
         )
@@ -200,7 +203,8 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         if changed:
             model, spec = build_model(
                 config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
-                anchors=new_anchors, remat=cfg.remat, dtype=dtype,
+                anchors=new_anchors, remat=cfg.remat, fused_csp=False,
+                dtype=dtype,
             )
 
     # loss gains scaled like train.py:258-260

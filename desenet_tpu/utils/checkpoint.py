@@ -183,6 +183,59 @@ def migrate_unfused_c3(variables):
     return out
 
 
+def defuse_c3(variables):
+    """Inverse of migrate_unfused_c3: split fused cv12/bn12 C3 blocks back
+    into cv1/cv2 ConvBnActs (the layout the training graph prefers)."""
+    params = variables.get("params", {})
+
+    def find_sites(d, path=()):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if "cv12" in v and "bn12" in v:
+                    yield path + (k,)
+                yield from find_sites(v, path + (k,))
+
+    sites = list(find_sites(params))
+    if not sites:
+        return variables
+
+    def deep_copy(d):
+        return {k: deep_copy(v) if isinstance(v, dict) else v
+                for k, v in d.items()}
+
+    out = {col: deep_copy(tree) for col, tree in variables.items()}
+    for col, tree in out.items():
+        for site in sites:
+            sub = tree
+            ok = True
+            for s in site:
+                if not isinstance(sub, dict) or s not in sub:
+                    ok = False
+                    break
+                sub = sub[s]
+            if not ok:
+                continue
+            if col == "params" and "cv12" in sub:
+                w = np.asarray(sub.pop("cv12")["conv2d"]["kernel"])
+                half = w.shape[-1] // 2
+                sub.setdefault("cv1", {})["conv"] = {
+                    "conv2d": {"kernel": w[..., :half]}
+                }
+                sub.setdefault("cv2", {})["conv"] = {
+                    "conv2d": {"kernel": w[..., half:]}
+                }
+            if "bn12" in sub:
+                bn = sub.pop("bn12")["bn"]
+                h = {k: np.asarray(v).shape[0] // 2 for k, v in bn.items()}
+                sub.setdefault("cv1", {})["bn"] = {
+                    "bn": {k: np.asarray(v)[: h[k]] for k, v in bn.items()}
+                }
+                sub.setdefault("cv2", {})["bn"] = {
+                    "bn": {k: np.asarray(v)[h[k]:] for k, v in bn.items()}
+                }
+    return out
+
+
 def migrate_legacy(variables):
     """All checkpoint-layout migrations (fused Focus stem, fused C3)."""
     return migrate_unfused_c3(migrate_focus_params(variables))

@@ -88,3 +88,32 @@ def test_unused_keys_are_only_quirk_bns():
     _, report = convert_state_dict(sd, template, spec)
     for k in report["unused_torch_keys"]:
         assert "branch_global" in k or "conv1.bn" in k or "branch4" in k, k
+
+
+def test_fused_unfused_c3_equivalence():
+    """Fused (cv12) and unfused (cv1/cv2) C3 layouts are exactly equivalent
+    through the checkpoint migrations in both directions."""
+    import jax.numpy as jnp
+    from desenet_tpu.utils.checkpoint import defuse_c3, migrate_unfused_c3
+
+    cfg = os.path.join(CFG, "tiny_psp2.yaml")
+    m_f, _ = build_model(cfg, fused_csp=True)
+    m_u, _ = build_model(cfg, fused_csp=False)
+    v_f = init_model(m_f, jax.random.PRNGKey(3), img_size=64, batch=1)
+    v_u = defuse_c3({"params": v_f["params"],
+                     "batch_stats": v_f["batch_stats"]})
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3))
+                    .astype(np.float32))
+    (dec_f, _), seg_f = m_f.apply(v_f, x, train=False)
+    (dec_u, _), seg_u = m_u.apply(v_u, x, train=False)
+    np.testing.assert_allclose(np.asarray(dec_f), np.asarray(dec_u),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(seg_f), np.asarray(seg_u),
+                               atol=1e-5)
+
+    # roundtrip back to fused
+    v_rt = migrate_unfused_c3(v_u)
+    for a, b in zip(jax.tree.leaves(v_f["params"]),
+                    jax.tree.leaves(v_rt["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
