@@ -112,3 +112,19 @@ def test_multiscale_and_image_weights(micro_root, tmp_path_factory):
     # losses finite through randomly-resized batches
     vals = [v for v in lines[-1].split(",") if v != ""]
     assert all(np.isfinite(float(v)) for v in vals)
+
+
+def test_detect_cli(train_run, micro_root, tmp_path_factory):
+    from desenet_tpu.cli.detect import run as detect_run
+
+    out = tmp_path_factory.mktemp("det")
+    save_dir = detect_run(
+        os.path.join(train_run["save_dir"], "last"),
+        os.path.join(micro_root, "Images", "val"),
+        imgsz=64, conf_thres=0.1, half=False, save_txt=True,
+        project=str(out), name="d", exist_ok=True,
+    )
+    files = os.listdir(save_dir)
+    assert any(f.endswith("_seg.jpg") for f in files)
+    assert any(f.endswith(".jpg") and not f.endswith("_seg.jpg")
+               for f in files)
