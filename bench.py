@@ -37,7 +37,7 @@ def main():
     def infer_digest(variables, x):
         (dec, feats), seg = model.apply(variables, x, train=False)
         nms = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
-                                  max_det=300, pre_topk=1024)
+                                  max_det=300, pre_topk=512)
         seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
         # scalar digest forces full materialization of every output
         return (
