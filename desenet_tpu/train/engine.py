@@ -404,6 +404,14 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
 
     LOGGER.info("training finished in %.1f min; best fitness %.4f",
                 (time.time() - t_start) / 60, best_fitness)
+    if not cfg.nosave:
+        # finalize: inference-only (EMA-promoted, no optimizer) checkpoint —
+        # strip_optimizer analog (general.py:753-766, train.py:462-469)
+        try:
+            ckpt.strip_checkpoint(os.path.join(save_dir, "best"),
+                                  os.path.join(save_dir, "best_stripped"))
+        except Exception as e:  # noqa: BLE001 — finalization is best-effort
+            LOGGER.warning("strip failed: %s", e)
     callbacks.run("on_train_end")
     callbacks.run("teardown")
     return {"save_dir": save_dir, "best_fitness": best_fitness,

@@ -42,6 +42,8 @@ def test_train_produces_artifacts(train_run):
     assert os.path.exists(os.path.join(sd, "results.csv"))
     assert os.path.exists(os.path.join(sd, "last", "meta.json"))
     assert os.path.exists(os.path.join(sd, "hyp.yaml"))
+    # inference-only finalized checkpoint (strip_optimizer analog)
+    assert os.path.exists(os.path.join(sd, "best_stripped", "meta.json"))
     with open(os.path.join(sd, "results.csv")) as f:
         lines = f.read().strip().splitlines()
     assert len(lines) == 3  # header + 2 epochs
