@@ -29,7 +29,7 @@ ITERS = 8  # 8 x (128,640,640,3) bf16 = 2.5 GB resident per input set
 
 def main():
     from desenet_tpu.models import build_model, init_model, config_path
-    from desenet_tpu.ops import non_max_suppression
+    from desenet_tpu.ops import non_max_suppression, PRE_TOPK_PRODUCTION
 
     model, _ = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE, batch=1)
@@ -37,7 +37,7 @@ def main():
     def infer_digest(variables, x):
         (dec, feats), seg = model.apply(variables, x, train=False)
         nms = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
-                                  max_det=300, pre_topk=512)
+                                  max_det=300, pre_topk=PRE_TOPK_PRODUCTION)
         seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
         # scalar digest forces full materialization of every output
         return (

@@ -134,7 +134,7 @@ class Predictor:
             (dec, _), seg = self.model.apply(variables, x, train=False)
             nms = non_max_suppression(
                 dec, conf_thres=conf_thres, iou_thres=iou_thres,
-                max_det=max_det, pre_topk=2048,
+                max_det=max_det,
             )
             seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
             return nms, seg_cls

@@ -41,6 +41,7 @@ def run(
     save_txt=False,
     save_conf=False,
     save_json=False,
+    coco_anno="",
 ):
     data = check_dataset(data)
     variables, meta = load_inference_variables(weights)
@@ -81,6 +82,24 @@ def run(
     sp = results["speed_ms"]
     print(f"Speed: {sp[0]:.1f}ms host-stage, {sp[1]:.1f}ms device "
           f"(fwd+decode+NMS), {sp[2]:.1f}ms metrics per image")
+
+    # COCO-protocol mAP over the exported predictions (val.py:312-335);
+    # pycocotools is vendored as eval/coco.py in this image.
+    if save_json and save_dir:
+        import os
+
+        anno = coco_anno or os.path.join(
+            data.get("path", "../coco"), "annotations",
+            "instances_val2017.json")
+        pred_json = os.path.join(save_dir, "predictions.json")
+        if os.path.isfile(anno) and os.path.isfile(pred_json):
+            from desenet_tpu.eval.coco import evaluate_coco
+
+            print(f"\nEvaluating COCO mAP on {pred_json}...")
+            stats = evaluate_coco(anno, pred_json)
+            results["map"], results["map50"] = float(stats[0]), float(stats[1])
+        elif coco_anno:
+            print(f"COCO eval skipped: {anno} or {pred_json} not found")
     return results
 
 
@@ -131,6 +150,9 @@ def parse_opt(argv=None):
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--save-json", action="store_true")
+    p.add_argument("--coco-anno", type=str, default="",
+                   help="COCO instances json for vendored COCOeval "
+                        "(default: <data path>/annotations/instances_val2017.json)")
     return p.parse_args(argv)
 
 
@@ -151,7 +173,7 @@ def main(argv=None):
         o.data, o.weights, o.batch_size, o.img_size, o.conf_thres,
         o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
         o.plots, o.save_dir, o.workers, o.augment, o.save_txt, o.save_conf,
-        o.save_json,
+        o.save_json, o.coco_anno,
     )
 
 

@@ -511,12 +511,18 @@ def _mosaic9_position(i, s, w, h, w0, h0, wp, hp):
     ][i]
 
 
-def collate_quad(samples, max_targets: int = 128):
+def collate_quad(samples, max_targets: int = 128, rng=None):
     """Quad collate (mixed_datasets.py:591-620 collate_fn4): groups of 4
     samples become either one 2x2 super-image (labels offset+scaled, seg
-    masks tiled) or a random 2x-upscaled single (seg via nearest)."""
+    masks tiled) or a random 2x-upscaled single (seg via nearest).
+
+    ``rng`` should be an epoch/batch-derived ``np.random.Generator`` (like
+    the dataset's per-(epoch, index) sample rng) so the upscale-vs-tile coin
+    flips vary across batches and epochs; defaults to a fresh OS-seeded
+    generator."""
     assert len(samples) >= 4 and len(samples) % 4 == 0
-    rng = np.random.default_rng(len(samples))
+    if rng is None:
+        rng = np.random.default_rng()
     out_imgs, out_dets, out_segs, out_paths, out_shapes = [], [], [], [], []
     for g in range(len(samples) // 4):
         quad = samples[g * 4:(g + 1) * 4]

@@ -68,7 +68,7 @@ class Validator:
         conf_thres: float = 0.001,
         iou_thres: float = 0.6,
         max_det: int = 300,
-        pre_topk: int = 4096,
+        pre_topk: int = None,
         single_cls: bool = False,
         plots: bool = False,
         save_dir: str = "",
@@ -84,7 +84,8 @@ class Validator:
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.max_det = max_det
-        self.pre_topk = pre_topk
+        from desenet_tpu.ops import PRE_TOPK_VAL
+        self.pre_topk = PRE_TOPK_VAL if pre_topk is None else pre_topk
         self.single_cls = single_cls
         self.plots = plots
         self.save_dir = save_dir

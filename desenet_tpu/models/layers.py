@@ -172,7 +172,10 @@ class ConvBnAct(nn.Module):
 
     def __call__(self, x, train: bool = False):
         y = self.conv(x)
-        if y.shape[1] * y.shape[2] > 1:  # skip BN on 1x1 maps (common.py:53)
+        # Reference skips BN when the conv INPUT map is 1x1 (common.py:53
+        # checks x[0][0].numel() > 1), not the output — a stride>1 conv from
+        # a >1 map down to 1x1 still applies BN there.
+        if x.shape[1] * x.shape[2] > 1:
             y = self.bn(y, train)
         return self._act(y)
 

@@ -33,6 +33,17 @@ from desenet_tpu.ops.boxes import box_iou, xywh2xyxy
 
 MAX_WH = 4096  # class-offset multiplier (general.py:675)
 
+# Shipped pre_topk values — ONE source of truth for every production surface
+# (__graft_entry__.entry, bench.py, api.Predictor). At detect-time
+# conf_thres (0.25) the live candidate count is far below 1024 for any
+# realistic scene (tests/test_ops_nms.py pins zero recall loss on a
+# 600-candidate dense scene, where 512 measurably loses detections).
+PRE_TOPK_PRODUCTION = 1024
+# Val runs at conf_thres=0.001 with multi_label=True, so the candidate set is
+# much denser; 4096 matches the reference's max_nms headroom for the 1%-gate
+# parity runs (general.py:659-750 caps at 30000).
+PRE_TOPK_VAL = 4096
+
 
 class NMSOutput(NamedTuple):
     boxes: jax.Array  # (B, max_det, 4) xyxy
@@ -115,7 +126,7 @@ def non_max_suppression(
     conf_thres: float = 0.25,
     iou_thres: float = 0.45,
     max_det: int = 300,
-    pre_topk: int = 2048,
+    pre_topk: int = PRE_TOPK_PRODUCTION,
     multi_label: bool = False,
     agnostic: bool = False,
     backend: str = "auto",

@@ -298,6 +298,11 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                                          class_weights)
             train_ds.resample(iw + 1e-9, ms_rng)
         mloss = np.zeros(4)  # box, obj, cls, seg running means
+        # Per-batch device scalars buffered without syncing; reduced in a
+        # single stacked op at log ticks so mloss is a true running mean
+        # over ALL batches (reference updates mloss every batch) while the
+        # loop stays free of per-batch host round-trips.
+        loss_hist = []
         t_ep = time.time()
         for i, batch in enumerate(train_loader):
             batch.pop("paths", None)
@@ -325,16 +330,17 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                 batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
+            loss_hist.append((metrics["lbox"], metrics["lobj"],
+                              metrics["lcls"], metrics["lseg"]))
             if (i + 1) % max(nb // 4, 1) == 0 or i == nb - 1:
-                vals = np.asarray([
-                    float(metrics["lbox"]), float(metrics["lobj"]),
-                    float(metrics["lcls"]), float(metrics["lseg"]),
-                ])
-                mloss = (mloss * i + vals) / (i + 1)
+                flat = jnp.stack([s for v in loss_hist for s in v])
+                mloss = np.asarray(
+                    flat.reshape(len(loss_hist), 4).mean(axis=0), np.float64
+                )
                 LOGGER.info(
                     "epoch %d/%d batch %d/%d  box %.4f obj %.4f cls %.4f "
                     "seg %.4f  lr %.5f",
-                    epoch, cfg.epochs - 1, i + 1, nb, *vals,
+                    epoch, cfg.epochs - 1, i + 1, nb, *mloss,
                     float(metrics["lr"]),
                 )
             callbacks.run("on_train_batch_end")

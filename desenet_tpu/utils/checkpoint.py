@@ -18,8 +18,32 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# ---------------------------------------------------------------------------
+# Checkpoint schema versions. The version is stamped into meta.json at save
+# and drives the migration registry at load; unversioned checkpoints (round-1
+# era) fall back to structural sniffing (migrate_legacy).
+#
+#   v1: unfused Focus stem — params at l{i}/conv/{conv,bn} (commit 06adf72
+#       replaced it with a fused 6x6 space-to-depth conv).
+#   v2: fused Focus; C3 blocks stored in the unfused training layout
+#       (separate cv1/cv2 — commit a74d1e3 made inference fuse them to cv12).
+#   v3: v2 tree + explicit "layout" metadata ({focus, c3}) so loaders don't
+#       have to sniff which graph the tree feeds. Current.
+#
+# MIGRATIONS[v] upgrades a v-layout variables tree to v+1. Each entry must be
+# exact (bit-preserving up to dtype) and idempotent on already-migrated trees.
+# ---------------------------------------------------------------------------
+SCHEMA_VERSION = 3
+
+
 def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _has_key(tree, key: str) -> bool:
+    if not isinstance(tree, dict):
+        return False
+    return key in tree or any(_has_key(v, key) for v in tree.values())
 
 
 def save_checkpoint(
@@ -49,6 +73,13 @@ def save_checkpoint(
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
     if meta is not None:
+        meta = dict(meta)
+        meta.setdefault("schema_version", SCHEMA_VERSION)
+        meta.setdefault("layout", {
+            "focus": "fused",
+            "c3": "fused" if _has_key(payload["params"], "cv12")
+            else "unfused",
+        })
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=1)
 
@@ -77,8 +108,14 @@ def strip_checkpoint(path: str, out_path: str):
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.abspath(out_path), slim, force=True)
     if payload.get("meta") is not None:
+        meta = dict(payload["meta"])
+        meta.setdefault("schema_version", SCHEMA_VERSION)
+        meta.setdefault("layout", {
+            "focus": "fused",
+            "c3": "fused" if _has_key(slim["params"], "cv12") else "unfused",
+        })
         with open(os.path.join(os.path.abspath(out_path), "meta.json"), "w") as f:
-            json.dump(payload["meta"], f, indent=1)
+            json.dump(meta, f, indent=1)
 
 
 def migrate_focus_params(variables):
@@ -131,6 +168,21 @@ def migrate_unfused_c3(variables):
     concatenating kernels along O and BN params per channel — exact."""
     params = variables.get("params", {})
 
+    def is_bottleneck(m):
+        # C3's inner stack is Bottleneck (cv1 1x1 -> cv2 3x3). C3Ghost/C3TR
+        # share the cv1/cv2/cv3/m_0 outer layout but their m_0 is a
+        # GhostBottleneck/TransformerBlock with no fused-cv12 target — they
+        # must NOT be migrated.
+        if not isinstance(m, dict):
+            return False
+        try:
+            k1 = m["cv1"]["conv"]["conv2d"]["kernel"]
+            k2 = m["cv2"]["conv"]["conv2d"]["kernel"]
+        except (TypeError, KeyError):
+            return False
+        return (tuple(np.shape(k1)[:2]) == (1, 1)
+                and tuple(np.shape(k2)[:2]) == (3, 3))
+
     def find_sites(d, path=()):
         for k, v in d.items():
             if isinstance(v, dict):
@@ -139,7 +191,8 @@ def migrate_unfused_c3(variables):
                         and isinstance(v.get("cv1"), dict)
                         and "conv" in v["cv1"]
                         and isinstance(v.get("cv2"), dict)
-                        and "conv" in v["cv2"]):
+                        and "conv" in v["cv2"]
+                        and is_bottleneck(v["m_0"])):
                     yield path + (k,)
                 yield from find_sites(v, path + (k,))
 
@@ -241,18 +294,52 @@ def migrate_legacy(variables):
     return migrate_unfused_c3(migrate_focus_params(variables))
 
 
+# version v -> upgrade fn producing a (v+1)-layout tree. v2->v3 added only
+# the meta "layout" field; the tree is unchanged.
+MIGRATIONS = {
+    1: migrate_focus_params,
+    2: lambda variables: variables,
+}
+
+
+def migrate_to_version(variables, from_version: int,
+                       to_version: int = SCHEMA_VERSION):
+    """Upgrade a versioned variables tree through the migration registry."""
+    v = int(from_version)
+    if v > SCHEMA_VERSION:
+        raise ValueError(
+            f"checkpoint schema v{v} is newer than this code "
+            f"(v{SCHEMA_VERSION}); upgrade desenet_tpu to load it")
+    while v < to_version:
+        if v not in MIGRATIONS:
+            raise ValueError(f"no migration registered for schema v{v}")
+        variables = MIGRATIONS[v](variables)
+        v += 1
+    return variables
+
+
 def load_inference_variables(path: str):
     """Load variables for model.apply from either a stripped or full ckpt,
     preferring EMA weights (experimental.py:85-108 attempt_load
-    semantics). Legacy layouts (unfused Focus stem / unfused C3) migrate
-    automatically."""
+    semantics). Versioned checkpoints upgrade through the migration
+    registry; unversioned (round-1) layouts are sniffed structurally. The
+    C3 train->inference fusion then runs on the upgraded tree (it is a
+    graph-layout transform, not a schema migration, and is a no-op on
+    already-fused trees)."""
     payload = load_checkpoint(path)
     params = payload.get("ema_params") or payload.get("params")
     stats = payload.get("ema_batch_stats") or payload.get("batch_stats")
     variables = {"params": params}
     if stats:
         variables["batch_stats"] = stats
-    return migrate_legacy(variables), payload.get("meta")
+    meta = payload.get("meta")
+    version = (meta or {}).get("schema_version")
+    if version is None:
+        return migrate_legacy(variables), meta
+    variables = migrate_to_version(variables, version)
+    if ((meta or {}).get("layout", {}).get("c3") or "unfused") == "unfused":
+        variables = migrate_unfused_c3(variables)
+    return variables, meta
 
 
 def intersect_trees(src, dst):

@@ -118,3 +118,54 @@ def test_batched_nms_utility(rng):
     )
     kept = np.asarray(keep_idx)[np.asarray(keep_ok)]
     np.testing.assert_array_equal(kept, [0, 2])
+
+
+def make_dense_scene(rng, n_obj=400, dup=2, a=25200, nc=6):
+    """A dense detect-time scene: n_obj objects, each with `dup` candidate
+    boxes above conf 0.25 (jittered duplicates for NMS to resolve); every
+    other anchor below threshold. Mirrors a worst-case crowded image at the
+    production conf_thres."""
+    pred = np.zeros((a, 5 + nc), np.float32)
+    pred[:, 0:2] = rng.uniform(0, 640, size=(a, 2))
+    pred[:, 2:4] = rng.uniform(8, 40, size=(a, 2))
+    pred[:, 4] = rng.uniform(0.0, 0.2, size=a)  # background obj score
+    pred[:, 5] = 1.0  # single dominant class prob
+    k = n_obj * dup
+    centers = rng.uniform(50, 590, size=(n_obj, 2)).astype(np.float32)
+    obj_scores = rng.uniform(0.3, 0.95, size=n_obj)  # per-object, so a weak
+    # object is weak in ALL its duplicates (a prefilter cut loses it whole)
+    for d in range(dup):
+        sl = slice(d * n_obj, (d + 1) * n_obj)
+        pred[sl, 0:2] = centers + rng.normal(0, 2, size=(n_obj, 2))
+        pred[sl, 2:4] = 30.0
+        pred[sl, 4] = np.clip(obj_scores - 0.02 * d, 0.26, None)
+    cls = np.tile(rng.integers(0, nc, size=n_obj), dup)  # same class per object
+    pred[:k, 5:] = 0.01
+    pred[np.arange(k), 5 + cls] = 0.99
+    return pred[None]
+
+
+def test_pre_topk_production_is_lossless_on_dense_scene(rng):
+    """Pins the accuracy cost of the shipped PRE_TOPK_PRODUCTION (used by
+    bench.py, __graft_entry__.entry and api.Predictor): ZERO detections lost
+    vs an uncapped run on a 400-object/800-candidate scene — while 512 (the
+    round-1 bench-only value) measurably drops detections there."""
+    from desenet_tpu.ops import PRE_TOPK_PRODUCTION
+
+    pred = make_dense_scene(rng)
+
+    def run(k):
+        out = non_max_suppression(
+            jnp.asarray(pred), conf_thres=0.25, iou_thres=0.45,
+            max_det=300, pre_topk=k, backend="xla")
+        n = int(out.num[0])
+        boxes = np.asarray(out.boxes[0][: n])
+        return n, {tuple(np.round(b, 2)) for b in boxes}
+
+    n_full, keep_full = run(25200)   # uncapped (= reference max_nms regime)
+    n_prod, keep_prod = run(PRE_TOPK_PRODUCTION)
+    n_512, _ = run(512)
+
+    assert n_prod == n_full
+    assert keep_prod == keep_full
+    assert n_512 < n_full  # documents why 512 was retired

@@ -132,9 +132,18 @@ def test_quad_collate(rng):
         det = np.array([[0, 0.5, 0.5, 0.2, 0.2]], np.float32)
         seg = rng.integers(0, 2, (32, 32)).astype(np.int32)
         samples.append((img, det, seg, f"p{i}", None))
-    b = collate_quad(samples, max_targets=8)
+    b = collate_quad(samples, max_targets=8, rng=np.random.default_rng(3))
     assert b["image"].shape == (1, 64, 64, 3)
     assert b["seg_labels"].shape == (1, 64, 64)
+    # the upscale-vs-tile coin must follow the caller's rng: different seeds
+    # must eventually produce both branches (upscale keeps only sample 0's
+    # labels at full scale; tiling halves the box sizes)
+    widths = {
+        float(collate_quad(samples, max_targets=8,
+                           rng=np.random.default_rng(s))["det_targets"][0, 0, 3])
+        for s in range(8)
+    }
+    assert len(widths) == 2  # saw both the 0.2 (upscale) and 0.1 (tile) branch
     assert ((b["det_targets"][b["det_mask"]][:, 1:] >= 0)
             & (b["det_targets"][b["det_mask"]][:, 1:] <= 1)).all()
 
