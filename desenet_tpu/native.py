@@ -29,13 +29,17 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     if os.environ.get("DESENET_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_SO_PATH):
+    src = os.path.join(_NATIVE_DIR, "fastops.cpp")
+    stale = (os.path.exists(_SO_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    if not os.path.exists(_SO_PATH) or stale:
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception as e:  # no toolchain — fall back silently
             LOGGER.debug("fastops build failed: %s", e)
-            return None
+            if not os.path.exists(_SO_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
         lib.assemble_batch.argtypes = [
@@ -47,12 +51,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.rasterize_polygons.restype = ctypes.c_int64
         lib.rasterize_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
         ]
         lib.fastops_version.restype = ctypes.c_int
-        assert lib.fastops_version() == 1
+        assert lib.fastops_version() == 2
         _LIB = lib
         LOGGER.info("fastops native library loaded")
     except Exception as e:
@@ -86,8 +92,10 @@ def assemble_batch(samples: Sequence[np.ndarray]) -> np.ndarray:
 def rasterize_polygons_native(
     seg: Sequence[Tuple[int, np.ndarray]], hw: Tuple[int, int]
 ) -> Optional[np.ndarray]:
-    """Native scanline rasterization. Returns None when the library is
-    unavailable (caller uses the PIL path)."""
+    """Native PIL-exact rasterization (fastops.cpp fill_polygon). Returns
+    None when the library is unavailable OR any polygon is degenerate
+    (self-intersecting / duplicate vertices) — the caller then uses the PIL
+    path, so output is bit-identical to PIL in every case."""
     lib = _load()
     if lib is None:
         return None
@@ -101,10 +109,12 @@ def rasterize_polygons_native(
     )
     counts = np.asarray([len(p) for p in polys], np.int64)
     cls = np.asarray(ids, np.int32)
-    lib.rasterize_polygons(
+    n_done = lib.rasterize_polygons(
         mask.ctypes.data_as(ctypes.c_void_p), hw[0], hw[1],
         flat.ctypes.data_as(ctypes.c_void_p),
         counts.ctypes.data_as(ctypes.c_void_p),
         cls.ctypes.data_as(ctypes.c_void_p), len(polys),
     )
+    if n_done != len(polys):  # degenerate polygon: preserve PIL ordering
+        return None
     return mask

@@ -35,78 +35,184 @@ void assemble_batch(uint8_t* dst, const uint8_t** srcs, int64_t n,
   }
 }
 
-// Scanline even-odd fill of one polygon into an int32 mask, writing
-// `cls_id` (later polygons overwrite earlier ones, like the reference's
-// sequential PIL fills). Outline pixels are included (PIL polygon
-// outline=1/fill=1 semantics approximated by half-open scanline fill plus
-// vertex-edge rounding; see tests for the agreement bound).
-static void fill_polygon(int32_t* mask, int64_t h, int64_t w,
-                         const float* pts, int64_t npts, int32_t cls_id) {
-  if (npts < 3) return;
-  float ymin = pts[1], ymax = pts[1];
-  for (int64_t i = 1; i < npts; ++i) {
-    ymin = std::min(ymin, pts[2 * i + 1]);
-    ymax = std::max(ymax, pts[2 * i + 1]);
+// PIL-exact polygon fill (Pillow 12 ImageDraw.polygon(outline=ink, fill=ink)
+// semantics — the reference's label-truth definition, general.py:490-510).
+// Derived empirically and fuzz-verified bit-identical on simple polygons
+// (tests/test_native.py): coordinates truncate to int; scanline intersections
+// at integer rows over half-open [ymin, ymax) edges in float32; extremum
+// corners of same-lean adjacent edges extend toward the adjacent row's span;
+// spans fill [ROUND_UP(x0), ROUND_DOWN(x1)] with zero-symmetric rounding and
+// Pillow's asymmetric clipping. Self-intersecting/duplicate-vertex polygons
+// are refused (return 0) — the Python wrapper falls back to PIL for those.
+
+static inline int64_t round_up_sym(float f) {
+  return (f >= 0.0f) ? (int64_t)std::floor(f + 0.5f)
+                     : -(int64_t)std::floor(-f + 0.5f);
+}
+static inline int64_t round_down_sym(float f) {
+  return (f >= 0.0f) ? (int64_t)std::ceil(f - 0.5f)
+                     : -(int64_t)std::ceil(-f - 0.5f);
+}
+
+static inline double cross3(int64_t ox, int64_t oy, int64_t px, int64_t py,
+                            int64_t qx, int64_t qy) {
+  return (double)(px - ox) * (double)(qy - oy) -
+         (double)(py - oy) * (double)(qx - ox);
+}
+
+// Strict proper-crossing test between non-adjacent segments.
+static int polygon_is_simple(const int64_t* X, const int64_t* Y, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t j = i + 1; j < n; ++j) {
+      if (X[i] == X[j] && Y[i] == Y[j]) return 0;  // duplicate vertex
+    }
   }
-  int64_t y0 = std::max<int64_t>(0, (int64_t)std::floor(ymin));
-  int64_t y1 = std::min<int64_t>(h - 1, (int64_t)std::ceil(ymax));
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t i2 = (i + 1) % n;
+    for (int64_t j = i + 1; j < n; ++j) {
+      if (j == i + 1 || (i == 0 && j == n - 1)) continue;
+      int64_t j2 = (j + 1) % n;
+      double d1 = cross3(X[j], Y[j], X[j2], Y[j2], X[i], Y[i]);
+      double d2 = cross3(X[j], Y[j], X[j2], Y[j2], X[i2], Y[i2]);
+      double d3 = cross3(X[i], Y[i], X[i2], Y[i2], X[j], Y[j]);
+      double d4 = cross3(X[i], Y[i], X[i2], Y[i2], X[j2], Y[j2]);
+      if (((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0))) return 0;
+    }
+  }
+  return 1;
+}
+
+static void pil_hline(int32_t* mask, int64_t h, int64_t w, int64_t y,
+                      int64_t xa, int64_t xb, int32_t cls_id) {
+  if (y < 0 || y >= h) return;
+  if (xa > xb) return;           // inverted span: nothing
+  if (xa >= w || xb < 0) return; // entirely right / entirely left
+  if (xa < 0) xa = 0;
+  if (xb >= w) xb = w - 1;
+  for (int64_t x = xa; x <= xb; ++x) mask[y * w + x] = cls_id;
+}
+
+struct PEdge {
+  float x0, dxdy;
+  int64_t y0, ymin, ymax;
+};
+
+static int fill_polygon(int32_t* mask, int64_t h, int64_t w, const float* pts,
+                        int64_t npts, int32_t cls_id) {
+  if (npts < 3) return 1;  // PIL via reference: <3 points ignored
+  std::vector<int64_t> X(npts), Y(npts);
+  for (int64_t i = 0; i < npts; ++i) {
+    X[i] = (int64_t)pts[2 * i];      // C truncation toward zero, like PIL
+    Y[i] = (int64_t)pts[2 * i + 1];
+  }
+  if (!polygon_is_simple(X.data(), Y.data(), npts)) return 0;
+
+  int64_t gy_min = Y[0], gy_max = Y[0];
+  for (int64_t i = 1; i < npts; ++i) {
+    gy_min = std::min(gy_min, Y[i]);
+    gy_max = std::max(gy_max, Y[i]);
+  }
+  const int64_t gy_max_c = std::min(gy_max, h);  // Pillow clips to ysize
+
+  std::vector<PEdge> edges;
+  std::vector<int64_t> edge_of(npts, -1);
+  for (int64_t i = 0; i < npts; ++i) {
+    int64_t j = (i + 1) % npts;
+    if (Y[i] == Y[j]) {  // horizontal edge: direct hline
+      pil_hline(mask, h, w, Y[i], std::min(X[i], X[j]),
+                std::max(X[i], X[j]), cls_id);
+      continue;
+    }
+    edge_of[i] = (int64_t)edges.size();
+    PEdge e;
+    e.x0 = (float)X[i];
+    e.y0 = Y[i];
+    e.ymin = std::min(Y[i], Y[j]);
+    e.ymax = std::max(Y[i], Y[j]);
+    e.dxdy = (float)(X[j] - X[i]) / (float)(Y[j] - Y[i]);
+    edges.push_back(e);
+  }
+
+  auto x_at = [](const PEdge& e, int64_t y) -> float {
+    return e.x0 + (float)(y - e.y0) * e.dxdy;
+  };
 
   std::vector<float> xs;
-  for (int64_t y = y0; y <= y1; ++y) {
-    const float fy = (float)y;
+  const int64_t y_lo = std::max(gy_min, (int64_t)0);
+  const int64_t y_hi = std::min(gy_max_c, h - 1);
+  for (int64_t y = y_lo; y <= y_hi; ++y) {
     xs.clear();
+    for (const PEdge& e : edges) {
+      if (e.ymin <= y && y < e.ymax) xs.push_back(x_at(e, y));
+    }
+    // extremum corners between adjacent non-horizontal edges at this row
     for (int64_t i = 0; i < npts; ++i) {
-      const int64_t j = (i + 1) % npts;
-      float x1 = pts[2 * i], ya = pts[2 * i + 1];
-      float x2 = pts[2 * j], yb = pts[2 * j + 1];
-      if (ya == yb) continue;
-      if ((fy >= std::min(ya, yb)) && (fy < std::max(ya, yb))) {
-        xs.push_back(x1 + (fy - ya) / (yb - ya) * (x2 - x1));
+      int64_t j = (i + 1) % npts;
+      if (edge_of[i] < 0 || edge_of[j] < 0) continue;
+      if (Y[j] != y) continue;
+      const PEdge& e1 = edges[edge_of[i]];
+      const PEdge& e2 = edges[edge_of[j]];
+      const bool bottom = (e1.ymax == y && e2.ymax == y);
+      const bool top = (e1.ymin == y && e2.ymin == y);
+      if (!bottom && !top) continue;  // through-vertex: main rule covers it
+      const float vx = (float)X[j];
+      const bool same = (e1.dxdy > 0) == (e2.dxdy > 0);
+      if (!same) {
+        if (bottom) {  // V vertex: degenerate point pair
+          xs.push_back(vx);
+          xs.push_back(vx);
+        }
+        continue;  // top V: both edges already counted by the main rule
+      }
+      const int64_t off = (y == gy_max_c) ? -1 : 1;
+      const float a = x_at(e1, y + off), b = x_at(e2, y + off);
+      // extension endpoint pre-rounds with plain floor(f + 0.5)
+      const bool right = (bottom && e1.dxdy < 0) || (top && e1.dxdy > 0);
+      if (right) {
+        float ext = std::floor(std::min(a, b) - 1.0f + 0.5f);
+        xs.push_back(vx);
+        xs.push_back(std::max(vx, ext));
+      } else {
+        float ext = std::floor(std::max(a, b) + 1.0f + 0.5f);
+        xs.push_back(std::min(vx, ext));
+        xs.push_back(vx);
       }
     }
     std::sort(xs.begin(), xs.end());
     for (size_t k = 0; k + 1 < xs.size(); k += 2) {
-      int64_t xa = std::max<int64_t>(0, (int64_t)std::ceil(xs[k] - 0.5f));
-      int64_t xb = std::min<int64_t>(w - 1, (int64_t)std::floor(xs[k + 1] + 0.5f));
-      for (int64_t x = xa; x <= xb; ++x) mask[y * w + x] = cls_id;
+      pil_hline(mask, h, w, y, round_up_sym(xs[k]), round_down_sym(xs[k + 1]),
+                cls_id);
     }
   }
-
-  // outline (Bresenham over edges) — PIL draws it explicitly
-  for (int64_t i = 0; i < npts; ++i) {
-    const int64_t j = (i + 1) % npts;
-    int64_t xa = (int64_t)std::lround(pts[2 * i]);
-    int64_t ya = (int64_t)std::lround(pts[2 * i + 1]);
-    int64_t xb = (int64_t)std::lround(pts[2 * j]);
-    int64_t yb = (int64_t)std::lround(pts[2 * j + 1]);
-    int64_t dx = std::abs(xb - xa), dy = -std::abs(yb - ya);
-    int64_t sx = xa < xb ? 1 : -1, sy = ya < yb ? 1 : -1, err = dx + dy;
-    while (true) {
-      if (xa >= 0 && xa < w && ya >= 0 && ya < h) mask[ya * w + xa] = cls_id;
-      if (xa == xb && ya == yb) break;
-      int64_t e2 = 2 * err;
-      if (e2 >= dy) { err += dy; xa += sx; }
-      if (e2 <= dx) { err += dx; ya += sy; }
-    }
-  }
+  return 1;
 }
 
 // polys: concatenated (x, y) float32 pairs; counts[i] = #points of poly i;
 // cls_ids[i] = class id. Mask must be zero-initialized by the caller.
-void rasterize_polygons(int32_t* mask, int64_t h, int64_t w,
-                        const float* polys, const int64_t* counts,
-                        const int32_t* cls_ids, int64_t n_polys) {
+// Returns the number of polygons filled natively. If any polygon is
+// degenerate (self-intersecting / duplicate vertices), stops and returns a
+// value < n_polys — the caller must re-render the whole mask with PIL to
+// preserve the later-polygon-overwrites ordering.
+int64_t rasterize_polygons(int32_t* mask, int64_t h, int64_t w,
+                           const float* polys, const int64_t* counts,
+                           const int32_t* cls_ids, int64_t n_polys) {
   int64_t off = 0;
   for (int64_t p = 0; p < n_polys; ++p) {
-    fill_polygon(mask, h, w, polys + 2 * off, counts[p], cls_ids[p]);
+    if (!fill_polygon(mask, h, w, polys + 2 * off, counts[p], cls_ids[p])) {
+      return p;
+    }
     off += counts[p];
   }
+  return n_polys;
 }
 
 // Batched variant: one mask per (h, w) plane, polygons grouped per image.
+// ok_flags[i] = 1 if image i was fully rendered natively, 0 if it contains a
+// degenerate polygon (caller re-renders that image with PIL).
 void rasterize_batch(int32_t* masks, int64_t b, int64_t h, int64_t w,
                      const float* polys, const int64_t* counts,
-                     const int32_t* cls_ids, const int64_t* polys_per_img) {
+                     const int32_t* cls_ids, const int64_t* polys_per_img,
+                     int8_t* ok_flags) {
   std::vector<int64_t> poly_start(b + 1, 0), pt_start(b + 1, 0);
   for (int64_t i = 0; i < b; ++i) {
     poly_start[i + 1] = poly_start[i] + polys_per_img[i];
@@ -121,14 +227,19 @@ void rasterize_batch(int32_t* masks, int64_t b, int64_t h, int64_t w,
 #pragma omp parallel for schedule(dynamic)
   for (int64_t i = 0; i < b; ++i) {
     int64_t off = pt_start[i];
+    int8_t ok = 1;
     for (int64_t p = poly_start[i]; p < poly_start[i + 1]; ++p) {
-      fill_polygon(masks + i * h * w, h, w, polys + 2 * off, counts[p],
-                   cls_ids[p]);
+      if (!fill_polygon(masks + i * h * w, h, w, polys + 2 * off, counts[p],
+                        cls_ids[p])) {
+        ok = 0;
+        break;
+      }
       off += counts[p];
     }
+    ok_flags[i] = ok;
   }
 }
 
-int fastops_version() { return 1; }
+int fastops_version() { return 2; }
 
 }  // extern "C"
