@@ -55,6 +55,10 @@ def parse_opt(argv=None):
                    help="minimum warmup iterations")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches)")
+    p.add_argument("--wandb", action="store_true",
+                   help="W&B logging (offline backend when pkg absent)")
+    p.add_argument("--upload-dataset", action="store_true",
+                   help="log the dataset as a W&B artifact")
     return p.parse_args(argv)
 
 
@@ -73,7 +77,8 @@ def main(argv=None):
         n_devices=o.n_devices, use_tb=not o.no_tb,
         noautoanchor=o.noautoanchor, multi_scale=o.multi_scale,
         image_weights=o.image_weights, nbs=o.nbs,
-        warmup_floor=o.warmup_floor, remat=o.remat,
+        warmup_floor=o.warmup_floor, remat=o.remat, wandb=o.wandb,
+        upload_dataset=o.upload_dataset,
     )
     results = train(cfg)
     print(

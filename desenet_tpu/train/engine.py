@@ -94,6 +94,8 @@ class TrainConfig:
     warmup_floor: int = 1000  # min warmup iterations (train.py:287 hardcodes
     # 1000; configurable here because it swamps small-dataset runs)
     remat: bool = False  # rematerialize activations (bigger batches)
+    wandb: bool = False  # W&B sink (offline backend when pkg absent)
+    upload_dataset: bool = False  # log the dataset as a W&B artifact
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -118,8 +120,24 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
 
     loggers = Loggers(save_dir, use_tb=cfg.use_tb)
     callbacks.auto_register(loggers)
+    wb = None
+    if cfg.wandb:
+        from desenet_tpu.utils.wandb_logger import WandbLogger
+
+        wb = WandbLogger(project=os.path.basename(cfg.project) or
+                         "desenet_tpu", name=cfg.name,
+                         config={**vars(cfg), "hyp": hyp},
+                         dir=save_dir)
+        callbacks.auto_register(wb)
 
     data = check_dataset(cfg.data)
+    if wb is not None and wb.enabled and cfg.upload_dataset:
+        # dataset artifact (wandb_utils.py:321-345); splits keep local paths
+        # for this run, the artifact carries the copies
+        wb.log_dataset_artifact(
+            {"train": data.get("train"), "val": data.get("val")},
+            {i: n for i, n in enumerate(data["de"]["names"])},
+            project=cfg.project)
     de_nc = 1 if cfg.single_cls else int(data["de"]["nc"])
     se_nc = int(data["se"]["nc"])
     de_names = (["item"] if cfg.single_cls else list(data["de"]["names"]))
@@ -404,6 +422,10 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                     best_fitness, meta,
                 )
             callbacks.run("on_model_save")
+            if wb is not None and wb.enabled:
+                wb.log_model(os.path.join(save_dir, "last"), epoch, fi,
+                             best_model=best_fitness == fi,
+                             total_epochs=cfg.epochs)
         final_results = results
         if stopper(epoch, fi):
             break
