@@ -50,6 +50,11 @@ def make_batch(rng, b=8, s=64):
             "seg_labels": seg}
 
 
+def _assert_tree_close(t1, t2, atol):
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_step_matches_single_device():
     model, variables, opt, step = make_setup()
@@ -77,3 +82,94 @@ def test_sharded_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(state1.batch_stats),
                     jax.tree.leaves(state8.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_grad_accumulation_under_sharding():
+    """Multi-step run with accumulate=2 (nominal_bs=2*batch): the stepped
+    cadence, accumulated grads, params, EMA and opt state must all match
+    between the 8-device mesh and a single device (reference accumulation
+    loop: train.py:332-340, 370-376)."""
+    model, variables, opt, _ = make_setup()
+    det_ls_step = make_train_step
+    # warmup 0 so accumulate is exactly nominal_bs/batch_size == 2 from ni=0
+    from desenet_tpu.losses import DetectionLoss
+    from desenet_tpu.models import build_model
+    from desenet_tpu.models.heads import Detect
+
+    _, spec = build_model(CFG)
+    det_ls = spec.layers[spec.det_layer]
+    head = Detect(nc=spec.de_nc, anchors=det_ls.args[1],
+                  strides=spec.det_strides)
+    anchors = tuple(tuple(tuple(float(v) for v in a) for a in s)
+                    for s in head.anchors_grid_units())
+    loss_fn = DetectionLoss(anchors=anchors, nc=spec.de_nc)
+    step = det_ls_step(model, loss_fn, opt, one_cycle(1, 0.2, 10),
+                       nb=8, warmup_iters=0, nominal_bs=16, batch_size=8,
+                       donate=False)
+
+    rngs = [jax.random.PRNGKey(i) for i in range(4)]
+    batches = [make_batch(np.random.default_rng(i)) for i in range(4)]
+
+    state1 = create_train_state(variables, opt)
+    stepped1 = []
+    for b, r in zip(batches, rngs):
+        state1, m = step(state1, jax.tree.map(jnp.asarray, b), r)
+        stepped1.append(int(m["stepped"]))
+
+    mesh = make_mesh(8)
+    state8 = replicate_tree(create_train_state(variables, opt), mesh)
+    stepped8 = []
+    for b, r in zip(batches, rngs):
+        state8, m = step(state8, shard_batch(b, mesh), r)
+        stepped8.append(int(m["stepped"]))
+
+    # accumulate==2: optimizer applies on every second micro-batch
+    assert stepped1 == stepped8
+    assert sum(stepped1) == 2 and stepped1[0] == 0
+    _assert_tree_close(state1.params, state8.params, 5e-4)
+    _assert_tree_close(state1.accum_grads, state8.accum_grads, 5e-4)
+    _assert_tree_close(state1.ema_params, state8.ema_params, 5e-4)
+    _assert_tree_close(state1.batch_stats, state8.batch_stats, 5e-4)
+    assert int(state1.ema_updates) == int(state8.ema_updates)
+    assert int(state1.last_opt_step) == int(state8.last_opt_step)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_ema_eval_forward_matches_under_sharding():
+    """EMA-params eval forward (the val-during-train path) over a sharded
+    batch equals the single-device result — including on an uneven final
+    batch where only 3 of 8 rows are real images (fixed-shape collate pads;
+    padding rows must not change real rows' outputs)."""
+    model, variables, opt, step = make_setup()
+    batch = make_batch(np.random.default_rng(1))
+    # train one step so EMA differs from init
+    state1 = create_train_state(variables, opt)
+    state1, _ = step(state1, jax.tree.map(jnp.asarray, batch),
+                     jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    state8 = replicate_tree(create_train_state(variables, opt), mesh)
+    state8, _ = step(state8, shard_batch(batch, mesh), jax.random.PRNGKey(0))
+
+    # uneven final batch: 3 real rows, 5 zero-pad rows
+    imgs = np.zeros((8, 64, 64, 3), np.float32)
+    imgs[:3] = np.random.default_rng(2).uniform(0, 1, (3, 64, 64, 3))
+
+    def ema_fwd(state, x):
+        (dec, _), seg = model.apply(
+            {"params": state.ema_params,
+             "batch_stats": state.ema_batch_stats},
+            x, train=False)
+        return dec, seg
+
+    fwd = jax.jit(ema_fwd)
+    d1, s1 = fwd(state1, jnp.asarray(imgs))
+    sharded = jax.device_put(
+        jnp.asarray(imgs), jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")))
+    d8, s8 = fwd(state8, sharded)
+    np.testing.assert_allclose(np.asarray(d1)[:3], np.asarray(d8)[:3],
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s1)[:3], np.asarray(s8)[:3],
+                               atol=2e-4)
