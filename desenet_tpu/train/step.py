@@ -103,26 +103,31 @@ def make_train_step(
             ni.astype(jnp.float32) / max(float(warmup_iters), 1.0), 0.0, 1.0
         )
 
-        def apply_step(_):
-            new_params, new_opt = O.apply_updates(
-                state.params, accum, state.opt_state, state.groups, opt_cfg,
-                lr_scale, warmup_t,
-            )
-            updates = state.ema_updates + 1
-            ema_p = ema_update(state.ema_params, new_params, updates,
-                               ema_base, ema_tau)
-            ema_b = ema_update(state.ema_batch_stats, new_bs, updates,
-                               ema_base, ema_tau)
-            zero = jax.tree.map(jnp.zeros_like, accum)
-            return new_params, new_opt, zero, ema_p, ema_b, updates, ni
+        # Arithmetic select instead of lax.cond: a conditional over the whole
+        # state tree copies every buffer through the branch boundary and
+        # blocks fusion (~20 ms/step measured on v5e); the optimizer math is
+        # ~1 ms of elementwise work, so compute it always and select.
+        new_params, new_opt = O.apply_updates(
+            state.params, accum, state.opt_state, state.groups, opt_cfg,
+            lr_scale, warmup_t,
+        )
+        updates = state.ema_updates + 1
+        ema_p = ema_update(state.ema_params, new_params, updates,
+                           ema_base, ema_tau)
+        ema_b = ema_update(state.ema_batch_stats, new_bs, updates,
+                           ema_base, ema_tau)
 
-        def skip_step(_):
-            return (state.params, state.opt_state, accum, state.ema_params,
-                    state.ema_batch_stats, state.ema_updates,
-                    state.last_opt_step)
+        def sel(on_step, on_skip):
+            return jax.tree.map(
+                lambda a, b: jnp.where(do_step, a, b), on_step, on_skip)
 
-        (params, opt_state, accum_out, ema_p, ema_b, ema_updates,
-         last_opt) = jax.lax.cond(do_step, apply_step, skip_step, None)
+        params = sel(new_params, state.params)
+        opt_state = sel(new_opt, state.opt_state)
+        accum_out = sel(jax.tree.map(jnp.zeros_like, accum), accum)
+        ema_p = sel(ema_p, state.ema_params)
+        ema_b = sel(ema_b, state.ema_batch_stats)
+        ema_updates = sel(updates, state.ema_updates)
+        last_opt = sel(ni, state.last_opt_step)
 
         new_state = state.replace(
             params=params,

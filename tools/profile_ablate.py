@@ -129,14 +129,17 @@ def main():
                    (B_TRAIN, 8, 1))
     msk = jnp.tile(jnp.asarray([[True] * 4 + [False] * 4]), (B_TRAIN, 1))
 
-    def mk_train(key):
-        xs = jax.random.uniform(key, (ITERS, B_TRAIN, SIZE, SIZE, 3),
-                                jnp.float32)
+    def mk_train(key, iters=ITERS):
+        # uint8 images (the loader's wire format) — f32 at 6 iters is 7.5 GB
+        # of resident input and OOMs the grad variants
+        xs = jax.random.randint(key, (iters, B_TRAIN, SIZE, SIZE, 3), 0, 256,
+                                jnp.uint8)
         seg = jax.random.randint(
-            key, (ITERS, B_TRAIN, SIZE, SIZE), 0, nseg, jnp.int32)
+            key, (iters, B_TRAIN, SIZE, SIZE), 0, nseg, jnp.int32)
         return xs, seg
 
     def apply_train(params, x):
+        x = x.astype(jnp.bfloat16) / 255.0
         out, mut = model.apply(
             {"params": params, "batch_stats": bs0}, x, train=True,
             mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)})
@@ -164,7 +167,7 @@ def main():
         return (s.sum(dtype=jnp.float32)
                 + sum(f.sum(dtype=jnp.float32) for f in det_feats)), mut
 
-    z_x = jnp.zeros((B_TRAIN, SIZE, SIZE, 3), jnp.float32)
+    z_x = jnp.zeros((B_TRAIN, SIZE, SIZE, 3), jnp.uint8)
     z_s = jnp.zeros((B_TRAIN, SIZE, SIZE), jnp.int32)
 
     for name, lf in [("fwd_full", loss_full), ("fwd_det_only", loss_det_only),
@@ -181,7 +184,9 @@ def main():
             gr = jax.grad(lambda p: lf(p, x, s_i)[0])(params0)
             return sum(l.sum().astype(jnp.float32)
                        for l in jax.tree.leaves(gr))
-        put(f"train/{name}", timed(g, mk_train), B_TRAIN, cost(g, z_x, z_s))
+        put(f"train/{name}",
+            timed(g, lambda k: mk_train(k, 4), iters=4), B_TRAIN,
+            cost(g, z_x, z_s))
 
     print(json.dumps(report, indent=2))
 
