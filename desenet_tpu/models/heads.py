@@ -36,6 +36,7 @@ from desenet_tpu.models.layers import (
     FFM,
     PyramidPooling,
     RFB2,
+    maybe_cat,
     torch_conv_kernel_init,
 )
 from desenet_tpu.ops.resize import resize_bilinear
@@ -131,7 +132,12 @@ class Detect(nn.Module):
 
 class _SegStem(nn.Module):
     """Shared m8/m16/m32 stem: 1x1 convs to c_hid, 2x/4x align_corners
-    bilinear upsample of the deeper levels, concat (yolo.py:207-217)."""
+    bilinear upsample of the deeper levels (yolo.py:207-217).
+
+    Returns the branch LIST (implicit channel concat): every consumer is a
+    1x1 conv, which slices its kernel per branch instead of reading a
+    materialized 3*c_hid concat (this libtpu rewrites channel concats into
+    pad+maximum chains — see PERF.md)."""
 
     c_hid: int
     dtype: Dtype = jnp.float32
@@ -143,7 +149,7 @@ class _SegStem(nn.Module):
         f16 = resize_bilinear(f16, f8.shape[1:3], align_corners=True)
         f32 = ConvBnAct(self.c_hid, 1, dtype=self.dtype, name="m32")(xs[2], train)
         f32 = resize_bilinear(f32, f8.shape[1:3], align_corners=True)
-        return jnp.concatenate([f8, f16, f32], axis=-1)
+        return maybe_cat([f8, f16, f32])
 
 
 class SegMaskPSP2(nn.Module):

@@ -23,6 +23,7 @@ Each class cites the reference lines it mirrors behaviorally.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -79,11 +80,66 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class _SplitConv(nn.Module):
+    """Conv over an implicit channel-concat of several inputs, without
+    materializing the concat.
+
+    conv(concat(xs), W) == sum_i conv(x_i, W[:, :, off_i:off_i+c_i, :]) —
+    exact up to f32 reassociation. This libtpu decomposes channel concats
+    into pad+maximum chains that write full-size zero-padded tensors per
+    operand (see PERF.md "HLO-level findings"); feeding the parts directly
+    keeps HBM traffic at the parts themselves. Parameter name/shape/init are
+    IDENTICAL to the nn.Conv("conv2d") the dense path uses, so checkpoints
+    and the torch converter are unaffected.
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    pad: tuple
+    dilation: int
+    use_bias: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        c_in = sum(x.shape[-1] for x in xs)
+        kshape = (self.kernel, self.kernel, c_in, self.features)
+        kernel = self.param("kernel", torch_conv_kernel_init, kshape,
+                            jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        acc = None
+        off = 0
+        for x in xs:
+            c = x.shape[-1]
+            w = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
+            off += c
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w,
+                (self.stride, self.stride), self.pad,
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                torch_conv_bias_init(c_in * self.kernel * self.kernel),
+                (self.features,), jnp.float32)
+            acc = acc + bias
+        return acc.astype(self.dtype)
+
+
 class Conv2d(nn.Module):
     """Bare conv with torch-compatible explicit padding and init.
 
     The workhorse under every block; named `conv` inside ConvBnAct so torch
     checkpoints map as model.N.conv.weight -> .../conv/kernel.
+
+    Accepts either one array or a LIST of arrays; a list means "conv over
+    the channel-concat of these" and routes through _SplitConv (same params,
+    no concat materialization — see PERF.md).
     """
 
     features: int
@@ -99,6 +155,12 @@ class Conv2d(nn.Module):
     def __call__(self, x):
         p = autopad(self.kernel, self.padding)
         pad = ((p, p), (p, p)) if isinstance(p, int) else tuple((v, v) for v in p)
+        if isinstance(x, (list, tuple)):
+            if self.groups != 1:
+                raise ValueError("split-conv input requires groups=1")
+            return _SplitConv(self.features, self.kernel, self.stride, pad,
+                              self.dilation, self.use_bias, self.dtype,
+                              name="conv2d")(list(x))
         conv = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -140,6 +202,36 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+def _sum_channels(x) -> int:
+    """Channel count of a tensor or an implicit-concat list."""
+    if isinstance(x, (list, tuple)):
+        return sum(v.shape[-1] for v in x)
+    return x.shape[-1]
+
+
+# Minimum per-part channel width for the implicit-concat (split-conv) path.
+# Narrow parts starve the MXU's 128-deep contraction and lose more than the
+# concat materialization costs (measured: full split-everything regressed
+# b128 inference 2684 -> 2295 img/s; see PERF.md). Parts at >=128 channels
+# keep the MXU full and skip this libtpu's pad+maximum concat rewrite.
+SPLIT_CONV_MIN_PART = int(os.environ.get("DESENET_SPLIT_MIN_PART", "128"))
+
+
+def maybe_cat(xs, axis=-1):
+    """Return the list (implicit concat) when every part is MXU-wide enough,
+    else materialize the concat."""
+    if all(v.shape[-1] >= SPLIT_CONV_MIN_PART for v in xs):
+        return list(xs)
+    return jnp.concatenate(xs, axis=axis)
+
+
+def _spatial(x):
+    if isinstance(x, (list, tuple)):
+        x = x[0]
+    return x.shape[1:3]
+
+
+
 class ConvBnAct(nn.Module):
     """Conv2d(bias=False) + BN + SiLU — the reference `Conv`/CBL block
     (common.py:42-56), including the 1x1-spatial BN-skip quirk (:53).
@@ -175,7 +267,8 @@ class ConvBnAct(nn.Module):
         # Reference skips BN when the conv INPUT map is 1x1 (common.py:53
         # checks x[0][0].numel() > 1), not the output — a stride>1 conv from
         # a >1 map down to 1x1 still applies BN there.
-        if x.shape[1] * x.shape[2] > 1:
+        x0 = x[0] if isinstance(x, (list, tuple)) else x
+        if x0.shape[1] * x0.shape[2] > 1:
             y = self.bn(y, train)
         return self._act(y)
 
@@ -293,8 +386,10 @@ class SPP(nn.Module):
         c_ = x.shape[-1] // 2
         y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         pools = [y] + [max_pool_same(y, k) for k in self.k]
-        y = jnp.concatenate(pools, axis=-1)
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+        # implicit concat: cv2 is a 1x1 over the channel-concat; feeding the
+        # list avoids this libtpu's pad+maximum concat decomposition
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            maybe_cat(pools), train)
 
 
 class SPPF(nn.Module):
@@ -311,8 +406,9 @@ class SPPF(nn.Module):
         y1 = max_pool_same(y, self.k)
         y2 = max_pool_same(y1, self.k)
         y3 = max_pool_same(y2, self.k)
-        out = jnp.concatenate([y, y1, y2, y3], axis=-1)
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(out, train)
+        # implicit concat into cv2 (no pad+max materialization, PERF.md)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
+            maybe_cat([y, y1, y2, y3]), train)
 
 
 class Focus(nn.Module):
@@ -570,9 +666,12 @@ class FFM(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        fcat = jnp.concatenate(x, axis=-1) if self.is_cat else x
+        # is_cat means x is a list; maybe_cat keeps it implicit (split-conv)
+        # only when every part is MXU-wide (PERF.md)
+        if isinstance(x, (list, tuple)):
+            x = maybe_cat(list(x))
         feat = ConvBnAct(self.c2, self.k, 1, dtype=self.dtype, name="convblk")(
-            fcat, train
+            x, train
         )
         att = jnp.mean(feat.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(
             feat.dtype
@@ -626,7 +725,7 @@ class ASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        hid = x.shape[-1] // self.map_reduce
+        hid = _sum_channels(x) // self.map_reduce
         b0 = ConvBnAct(hid, 1, 1, dtype=self.dtype, name="branch0")(x, train)
         b1 = DilatedConvBnSiLU(hid, self.d[0], self.dtype, name="branch1")(x, train)
         b2 = DilatedConvBnSiLU(hid, self.d[1], self.dtype, name="branch2")(x, train)
@@ -634,10 +733,10 @@ class ASPP(nn.Module):
         feats = [b0, b1, b2, b3]
         if self.has_global:
             feats.append(
-                GlobalBranch(hid, self.dtype, name="branch4")(x, x.shape[1:3], train)
+                GlobalBranch(hid, self.dtype, name="branch4")(x, _spatial(x), train)
             )
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
-            jnp.concatenate(feats, axis=-1), train
+            maybe_cat(feats), train
         )
 
 
@@ -652,7 +751,7 @@ class ASPPs(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        hid = x.shape[-1] // self.map_reduce
+        hid = _sum_channels(x) // self.map_reduce
         b0 = ConvBnAct(hid, 1, dtype=self.dtype, name="branch0_a")(x, train)
         b0 = ConvBnAct(hid, 3, dtype=self.dtype, name="branch0_b")(b0, train)
         outs = [b0]
@@ -662,10 +761,10 @@ class ASPPs(nn.Module):
             outs.append(y)
         if self.has_global:
             outs.append(
-                GlobalBranch(hid, self.dtype, name="branch4")(x, x.shape[1:3], train)
+                GlobalBranch(hid, self.dtype, name="branch4")(x, _spatial(x), train)
             )
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
-            jnp.concatenate(outs, axis=-1), train
+            maybe_cat(outs), train
         )
 
 
@@ -682,7 +781,7 @@ class RFB2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        inter = x.shape[-1] // self.map_reduce
+        inter = _sum_channels(x) // self.map_reduce
         x3 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch3")(x, train)
         x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch0_a")(x, train)
         x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, name="branch0_b")(x0, train)
@@ -691,10 +790,10 @@ class RFB2(nn.Module):
         feats = [x0, x1, x2, x3]
         if self.has_global:
             feats.append(
-                GlobalBranch(inter, self.dtype, name="branch4")(x2, x.shape[1:3], train)
+                GlobalBranch(inter, self.dtype, name="branch4")(x2, _spatial(x), train)
             )
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
-            jnp.concatenate(feats, axis=-1), train
+            maybe_cat(feats), train
         )
 
 
@@ -709,7 +808,7 @@ class RFB1(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        inter = x.shape[-1] // self.map_reduce
+        inter = _sum_channels(x) // self.map_reduce
         b0 = ConvBnAct(inter, 1, dtype=self.dtype, name="branch0_a")(x, train)
         b0 = ConvBnAct(inter, 3, dtype=self.dtype, name="branch0_b")(b0, train)
         outs = [b0]
@@ -723,10 +822,10 @@ class RFB1(nn.Module):
             outs.append(y)
         if self.has_global:
             outs.append(
-                GlobalBranch(inter, self.dtype, name="branch4")(x, x.shape[1:3], train)
+                GlobalBranch(inter, self.dtype, name="branch4")(x, _spatial(x), train)
             )
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="fusion")(
-            jnp.concatenate(outs, axis=-1), train
+            maybe_cat(outs), train
         )
 
 
@@ -742,7 +841,7 @@ class ACSP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        inter = x.shape[-1] // self.map_reduce
+        inter = _sum_channels(x) // self.map_reduce
         x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch0_a")(x, train)
         x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, name="branch0_b")(x0, train)
         x1 = DilatedConvBnSiLU(inter, self.d[0], self.dtype, name="branch1")(x0, train)
@@ -751,11 +850,11 @@ class ACSP(nn.Module):
         if self.has_global:
             feats.append(
                 GlobalBranch(inter, self.dtype, name="branch_global")(
-                    x2, x.shape[1:3], train
+                    x2, _spatial(x), train
                 )
             )
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
-            jnp.concatenate(feats, axis=-1), train
+            maybe_cat(feats), train
         )
 
 
@@ -766,6 +865,7 @@ class PyramidPooling(nn.Module):
 
     k: Tuple[int, ...] = (1, 2, 3, 6)
     short_cut: bool = False
+    as_list: bool = False  # True: return branch list (implicit concat)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -778,6 +878,8 @@ class PyramidPooling(nn.Module):
             y = ConvBnAct(c_out, 1, dtype=self.dtype, name=f"conv{i+1}")(y, train)
             y = resize_bilinear(y, (h, w), align_corners=True)
             feats.append(y)
+        if self.as_list:
+            return feats
         return jnp.concatenate(feats, axis=-1)
 
 
