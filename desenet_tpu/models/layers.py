@@ -114,12 +114,15 @@ class _SplitConv(nn.Module):
             c = x.shape[-1]
             w = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
             off += c
+            # operands and output in self.dtype, exactly like the dense
+            # nn.Conv path (the MXU still accumulates each partial in f32;
+            # a preferred_element_type=f32 output here would make AD's
+            # transpose convs mixed-dtype, which lax rejects)
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), w,
                 (self.stride, self.stride), self.pad,
                 rhs_dilation=(self.dilation, self.dilation),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
             )
             acc = y if acc is None else acc + y
         if self.use_bias:
@@ -127,7 +130,7 @@ class _SplitConv(nn.Module):
                 "bias",
                 torch_conv_bias_init(c_in * self.kernel * self.kernel),
                 (self.features,), jnp.float32)
-            acc = acc + bias
+            acc = acc + bias.astype(self.dtype)
         return acc.astype(self.dtype)
 
 

@@ -117,3 +117,30 @@ def test_fused_unfused_c3_equivalence():
     for a, b in zip(jax.tree.leaves(v_f["params"]),
                     jax.tree.leaves(v_rt["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_split_conv_grad_bf16():
+    """The split-conv (implicit concat) path must be differentiable at bf16:
+    a preferred_element_type=f32 partial-conv output would make AD's
+    transpose convs mixed-dtype (regression: engine train failed on
+    yolov5s_seg bf16 while all f32/tiny-config tests passed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from desenet_tpu.models.layers import ConvBnAct
+
+    mod = ConvBnAct(32, 3, dtype=jnp.bfloat16)
+    xs = [jnp.ones((2, 8, 8, 128), jnp.bfloat16),
+          jnp.ones((2, 8, 8, 128), jnp.bfloat16) * 0.5]
+    v = mod.init(jax.random.PRNGKey(0), xs, True)
+
+    def loss(params):
+        y, _ = mod.apply({"params": params, "batch_stats": v["batch_stats"]},
+                         xs, True, mutable=["batch_stats"])
+        return y.astype(jnp.float32).mean()
+
+    g = jax.grad(loss)(v["params"])
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    # kernel param covers the full 256-channel implicit concat
+    assert v["params"]["conv"]["conv2d"]["kernel"].shape == (3, 3, 256, 32)
