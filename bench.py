@@ -30,15 +30,19 @@ ITERS = 8  # 8 x (128,640,640,3) bf16 = 2.5 GB resident per input set
 def main():
     from desenet_tpu.models import build_model, init_model, config_path
     from desenet_tpu.ops import non_max_suppression, PRE_TOPK_PRODUCTION
+    from desenet_tpu.ops.seg_pallas import upsample_argmax
 
-    model, _ = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16)
+    # seg_upsample=False: the head returns 1/8-res logits and the fused
+    # Pallas tail does bilinear-8x + argmax in VMEM (ops/seg_pallas.py)
+    model, _ = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16,
+                           seg_upsample=False)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE, batch=1)
 
     def infer_digest(variables, x):
         (dec, feats), seg = model.apply(variables, x, train=False)
         nms = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
                                   max_det=300, pre_topk=PRE_TOPK_PRODUCTION)
-        seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+        seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
         # scalar digest forces full materialization of every output
         return (
             nms.boxes.sum() + nms.scores.sum() + nms.num.sum().astype(jnp.float32)

@@ -222,7 +222,8 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
 
 
 def _instantiate(spec: LayerSpec, dtype, name: str,
-                 fused_csp: bool = True) -> Optional[nn.Module]:
+                 fused_csp: bool = True,
+                 seg_upsample: bool = True) -> Optional[nn.Module]:
     """LayerSpec -> flax module (None for parameterless graph ops)."""
     a = spec.args
     mk = {
@@ -261,7 +262,8 @@ def _instantiate(spec: LayerSpec, dtype, name: str,
     if spec.name in _SEG_HEADS:
         cls = getattr(H, spec.name)
         n_segcls, n_seg, c_hid, shortcut = spec.args
-        kw = dict(n_segcls=n_segcls, n=n_seg, c_hid=c_hid, dtype=dtype, name=name)
+        kw = dict(n_segcls=n_segcls, n=n_seg, c_hid=c_hid, dtype=dtype,
+                  name=name, upsample=seg_upsample)
         if spec.name != "SegMaskPSP2":
             kw["shortcut"] = shortcut
         return cls(**kw)
@@ -285,6 +287,8 @@ class DeSeNet(nn.Module):
     fused_csp: bool = True  # fused C3 cv1+cv2 (faster inference; the engine
     # trains with False — the backward prefers the split layout — and
     # checkpoints convert exactly in both directions)
+    seg_upsample: bool = True  # False: seg head returns 1/8-res logits for
+    # the fused Pallas upsample+argmax tail (ops/seg_pallas.py)
 
     def setup(self):
         mods = {}
@@ -303,12 +307,14 @@ class DeSeNet(nn.Module):
                     # torch 'model.i.j.*' <-> flax 'l{i}s{j}/*'
                     mods[f"l{ls.i}"] = tuple(
                         _instantiate(ls, self.dtype, name=f"l{ls.i}s{j}",
-                                     fused_csp=self.fused_csp)
+                                     fused_csp=self.fused_csp,
+                                     seg_upsample=self.seg_upsample)
                         for j in range(ls.n)
                     )
                 else:
                     m = _instantiate(ls, self.dtype, name=f"l{ls.i}",
-                                     fused_csp=self.fused_csp)
+                                     fused_csp=self.fused_csp,
+                                     seg_upsample=self.seg_upsample)
                     if m is not None:
                         mods[f"l{ls.i}"] = m
         self._mods = mods
@@ -363,12 +369,12 @@ class DeSeNet(nn.Module):
 def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 se_nc: Optional[int] = None, anchors: Optional[Sequence] = None,
                 fuse_focus: bool = True, remat: bool = False,
-                fused_csp: bool = True,
+                fused_csp: bool = True, seg_upsample: bool = True,
                 dtype=jnp.float32) -> Tuple[DeSeNet, ModelSpec]:
     spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors,
                         fuse_focus=fuse_focus)
     return DeSeNet(spec=spec, dtype=dtype, remat=remat,
-                   fused_csp=fused_csp), spec
+                   fused_csp=fused_csp, seg_upsample=seg_upsample), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):

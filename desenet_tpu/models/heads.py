@@ -161,6 +161,7 @@ class SegMaskPSP2(nn.Module):
     n: int = 1
     c_hid: int = 256
     dtype: Dtype = jnp.float32
+    upsample: bool = True  # False: return 1/8-res logits (fused Pallas seg tail)
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -180,6 +181,8 @@ class SegMaskPSP2(nn.Module):
         out = Conv2d(self.n_segcls, 1, use_bias=True, dtype=self.dtype, name="out")(
             fused
         )
+        if not self.upsample:
+            return out
         h, w = out.shape[1:3]
         return resize_bilinear(out, (h * 8, w * 8), align_corners=True)
 
@@ -193,6 +196,7 @@ class SegMaskPSP(nn.Module):
     c_hid: int = 256
     shortcut: bool = False
     dtype: Dtype = jnp.float32
+    upsample: bool = True  # False: return 1/8-res logits (fused Pallas seg tail)
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -204,6 +208,8 @@ class SegMaskPSP(nn.Module):
                            name="pp")(y, train)
         y = FFM(self.c_hid, is_cat=False, k=3, dtype=self.dtype, name="ffm")(y, train)
         out = Conv2d(self.n_segcls, 1, use_bias=True, dtype=self.dtype, name="out")(y)
+        if not self.upsample:
+            return out
         h, w = out.shape[1:3]
         return resize_bilinear(out, (h * 8, w * 8), align_corners=True)
 
@@ -216,6 +222,7 @@ class SegMaskBiSe(nn.Module):
     c_hid: int = 256
     shortcut: bool = False
     dtype: Dtype = jnp.float32
+    upsample: bool = True  # False: return 1/8-res logits (fused Pallas seg tail)
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -243,6 +250,8 @@ class SegMaskBiSe(nn.Module):
         out = Conv2d(self.n_segcls, 1, use_bias=True, dtype=self.dtype, name="out")(
             fused
         )
+        if not train and not self.upsample:
+            return out
         out = resize_bilinear(out, (out.shape[1] * 8, out.shape[2] * 8),
                               align_corners=True)
         if not train:
@@ -270,6 +279,7 @@ class SegMaskLab(nn.Module):
     c_hid: int = 256
     shortcut: bool = False
     dtype: Dtype = jnp.float32
+    upsample: bool = True  # False: return 1/8-res logits (fused Pallas seg tail)
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -289,6 +299,8 @@ class SegMaskLab(nn.Module):
         )
         y = ConvBnAct(self.c_hid, 3, dtype=self.dtype, name="dec_conv")(y, train)
         out = Conv2d(self.n_segcls, 1, use_bias=True, dtype=self.dtype, name="out")(y)
+        if not self.upsample:
+            return out
         return resize_bilinear(out, (out.shape[1] * 8, out.shape[2] * 8),
                                align_corners=True)
 
@@ -301,6 +313,7 @@ class SegMaskBase(nn.Module):
     c_hid: int = 256
     shortcut: bool = False
     dtype: Dtype = jnp.float32
+    upsample: bool = True  # False: return 1/8-res logits (fused Pallas seg tail)
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
@@ -313,5 +326,7 @@ class SegMaskBase(nn.Module):
             y = nn.Dropout(0.1, deterministic=False)(y)
         out = Conv2d(self.n_segcls, 3, padding=1, use_bias=False, dtype=self.dtype,
                      name="out")(y)
+        if not self.upsample:
+            return out
         return resize_bilinear(out, (out.shape[1] * 8, out.shape[2] * 8),
                                align_corners=True)
