@@ -27,6 +27,7 @@ from desenet_tpu.data.augment import letterbox
 from desenet_tpu.eval.validator import np_scale_coords
 from desenet_tpu.models import build_model, config_path
 from desenet_tpu.ops import non_max_suppression
+from desenet_tpu.ops.seg_pallas import upsample_argmax
 from desenet_tpu.utils.checkpoint import load_inference_variables
 from desenet_tpu.utils.plots import Annotator, SegAnnotator, colors
 
@@ -115,9 +116,12 @@ class Predictor:
         variables, meta = load_inference_variables(weights)
         assert meta is not None, "checkpoint missing meta.json"
         dtype = jnp.bfloat16 if half else jnp.float32
+        # seg_upsample=False: 1/8-res logits + the fused Pallas upsample/
+        # argmax tail (ops/seg_pallas.py; XLA composition off-TPU) — same
+        # class map, no full-res logits round-trip
         self.model, self.spec = build_model(
             config_path(meta["cfg"]), nc=meta["de_nc"], se_nc=meta["se_nc"],
-            dtype=dtype,
+            dtype=dtype, seg_upsample=False,
         )
         self.variables = variables
         self.imgsz = imgsz
@@ -136,7 +140,7 @@ class Predictor:
                 dec, conf_thres=conf_thres, iou_thres=iou_thres,
                 max_det=max_det,
             )
-            seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+            seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
             return nms, seg_cls
 
         self._infer = _infer

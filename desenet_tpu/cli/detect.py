@@ -26,6 +26,7 @@ from desenet_tpu.data.sources import LoadImages, LoadStreams
 from desenet_tpu.eval.validator import np_scale_coords
 from desenet_tpu.models import build_model, config_path
 from desenet_tpu.ops import non_max_suppression
+from desenet_tpu.ops.seg_pallas import upsample_argmax
 from desenet_tpu.utils.checkpoint import load_inference_variables
 from desenet_tpu.utils.general import (
     check_img_size,
@@ -69,7 +70,8 @@ def run(
     assert meta is not None, "checkpoint missing meta.json"
     dtype = jnp.bfloat16 if half else jnp.float32
     model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
-                              se_nc=meta["se_nc"], dtype=dtype)
+                              se_nc=meta["se_nc"], dtype=dtype,
+                              seg_upsample=False)
     stride = max(spec.det_strides)
     imgsz = check_img_size(imgsz, s=stride)
     names = meta.get("de_names") or [str(i) for i in range(spec.de_nc)]
@@ -86,7 +88,7 @@ def run(
             dec, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
             pre_topk=2048, agnostic=agnostic_nms,
         )
-        seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+        seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
         return nms, seg_cls
 
     dataset = (LoadStreams(source, img_size=imgsz, stride=stride) if webcam
