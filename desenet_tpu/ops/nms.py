@@ -40,9 +40,12 @@ MAX_WH = 4096  # class-offset multiplier (general.py:675)
 # 600-candidate dense scene, where 512 measurably loses detections).
 PRE_TOPK_PRODUCTION = 1024
 # Val runs at conf_thres=0.001 with multi_label=True, so the candidate set is
-# much denser; 4096 matches the reference's max_nms headroom for the 1%-gate
-# parity runs (general.py:659-750 caps at 30000).
-PRE_TOPK_VAL = 4096
+# much denser: a trained yolov5s_seg at 640px produces ~7-8k multi-label
+# pairs above 0.001 on synthetic scenes — 4096 measurably truncated the
+# low-conf tail vs the reference's max_nms=30000 cap (general.py:659-750)
+# and moved mAP50 by ~1.5% at s-scale. 16384 restores headroom; the val
+# greedy loop still runs on the top-`max_det` slice cost-wise.
+PRE_TOPK_VAL = 16384
 
 
 class NMSOutput(NamedTuple):

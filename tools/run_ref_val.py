@@ -104,7 +104,8 @@ RUNNER = textwrap.dedent(
                                      pad=0.5, rect=True)[0]
     results, _, _ = val.run(data, model=m, dataloader=loader, half=False,
                             plots=False, save_dir=Path('/tmp/refval'),
-                            task='val', batch_size=bs, imgsz=imgsz)
+                            task='val', batch_size=bs, imgsz=imgsz,
+                            save_txt=True, save_conf=True)
     mp, mr, map50, mAP = results[:4]
     miou = val.seg_validation(m, int(data['se']['nc']), loader,
                               half_precision=False)
