@@ -336,7 +336,22 @@ class DeSeNet(nn.Module):
                 assert mode == "nearest", mode
                 out = upsample_nearest(inp, scale)
             elif ls.name == "Concat":
-                out = jnp.concatenate(inp, axis=-1)
+                # keep the concat implicit (list) when the only consumer is
+                # the immediately-following conv-entry block and every part
+                # is MXU-wide — the consumer's first conv then slices its
+                # kernel per part (split-conv, PERF.md); else materialize
+                nxt = (self.spec.layers[ls.i + 1]
+                       if ls.i + 1 < len(self.spec.layers) else None)
+                splittable = (
+                    ls.i not in self.spec.save
+                    and nxt is not None
+                    and nxt.name in ("C3", "Conv", "C3TR", "C3Ghost",
+                                     "BottleneckCSP", "SPP", "SPPF")
+                    and nxt.n == 1
+                    and tuple(nxt.f) == (ls.i,)  # f is absolute indices
+                )
+                out = L.maybe_cat(inp) if splittable else jnp.concatenate(
+                    inp, axis=-1)
             elif ls.name == "Detect":
                 out = self._mods[f"l{ls.i}"](inp, train=train)
                 det_out = out
