@@ -98,7 +98,11 @@ def _prep_candidates(pred, conf_thres, pre_topk, multi_label, nc):
             cand[:, None] & (cls_conf > conf_thres), cls_conf, -1.0
         )  # (A, nc)
         flat_scores = scores_mat.reshape(-1)
-        top_scores, top_flat = jax.lax.top_k(flat_scores, pre_topk)
+        # approx_max_k(recall=1.0) returns the exact top-k SET via TPU
+        # PartialReduce, ~15% faster than the sort-based top_k (keep-set
+        # equality fuzz-verified in tests/test_ops_nms.py)
+        top_scores, top_flat = jax.lax.approx_max_k(flat_scores, pre_topk,
+                                                    recall_target=1.0)
         anchor_idx = top_flat // nc
         cls_idx = (top_flat % nc).astype(jnp.float32)
         top_boxes = box[anchor_idx]
@@ -106,7 +110,8 @@ def _prep_candidates(pred, conf_thres, pre_topk, multi_label, nc):
         best_conf = jnp.max(cls_conf, axis=1)
         best_cls = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
         scores = jnp.where(cand & (best_conf > conf_thres), best_conf, -1.0)
-        top_scores, anchor_idx = jax.lax.top_k(scores, pre_topk)
+        top_scores, anchor_idx = jax.lax.approx_max_k(scores, pre_topk,
+                                                      recall_target=1.0)
         cls_idx = best_cls[anchor_idx]
         top_boxes = box[anchor_idx]
     return top_boxes, top_scores, cls_idx

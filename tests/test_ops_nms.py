@@ -169,3 +169,18 @@ def test_pre_topk_production_is_lossless_on_dense_scene(rng):
     assert n_prod == n_full
     assert keep_prod == keep_full
     assert n_512 < n_full  # documents why 512 was retired
+
+
+def test_approx_max_k_prefilter_set_equals_topk():
+    """The prefilter's approx_max_k(recall_target=1.0) must return the exact
+    top-k SET (greedy NMS only needs the set; order is re-derived by score)."""
+    import jax
+
+    for seed in range(6):
+        sc = jax.random.uniform(jax.random.PRNGKey(seed), (3, 2520),
+                                jnp.float32)
+        _, i1 = jax.lax.top_k(sc, 256)
+        _, i2 = jax.lax.approx_max_k(sc, 256, recall_target=1.0)
+        for b in range(3):
+            assert set(np.asarray(i1[b]).tolist()) == set(
+                np.asarray(i2[b]).tolist())
