@@ -144,3 +144,31 @@ def test_split_conv_grad_bf16():
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
     # kernel param covers the full 256-channel implicit concat
     assert v["params"]["conv"]["conv2d"]["kernel"].shape == (3, 3, 256, 32)
+
+
+@pytest.mark.parametrize("cfg", ["yolov5m_seg", "yolov5l_seg"])
+def test_m_l_scale_build_and_forward(cfg):
+    """m/l width multipliers change which concat sites pass the split-conv
+    MXU-width gate — build, eval forward, and train grad must all work."""
+    import jax
+    import jax.numpy as jnp
+
+    from desenet_tpu.models import build_model, config_path, init_model
+
+    model, spec = build_model(config_path(cfg), dtype=jnp.float32)
+    v = init_model(model, jax.random.PRNGKey(0), img_size=64, batch=1)
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    (dec, feats), seg = model.apply(v, x, train=False)
+    assert np.isfinite(np.asarray(dec)).all()
+    assert seg.shape[1:3] == (64, 64)
+
+    def loss(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, x, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)})
+        det_feats, seg_out = out
+        s = seg_out[0] if isinstance(seg_out, (list, tuple)) else seg_out
+        return s.mean() + sum(f.mean() for f in det_feats)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
