@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from desenet_tpu.models import heads as H
 from desenet_tpu.models import layers as L
+from desenet_tpu import quant as quant_mod
 from desenet_tpu.ops.resize import upsample_nearest
 
 Dtype = Any
@@ -223,27 +224,31 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
 
 def _instantiate(spec: LayerSpec, dtype, name: str,
                  fused_csp: bool = True,
-                 seg_upsample: bool = True) -> Optional[nn.Module]:
+                 seg_upsample: bool = True,
+                 quant=None) -> Optional[nn.Module]:
     """LayerSpec -> flax module (None for parameterless graph ops)."""
     a = spec.args
     mk = {
         "C3": lambda: L.C3(a[0], *(a[1:]), dtype=dtype, fused=fused_csp,
-                           name=name),
-        "Conv": lambda: L.ConvBnAct(a[0], *(a[1:]), dtype=dtype, name=name),
+                           quant=quant, name=name),
+        "Conv": lambda: L.ConvBnAct(a[0], *(a[1:]), dtype=dtype, quant=quant,
+                                    name=name),
         "DWConv": lambda: L.DWConv(0, a[0], *(a[1:]), dtype=dtype, name=name),
-        "Focus": lambda: L.Focus(a[0], *(a[1:]), dtype=dtype, name=name),
+        "Focus": lambda: L.Focus(a[0], *(a[1:]), dtype=dtype, quant=quant,
+                                 name=name),
         "FusedFocus": lambda: L.ConvBnAct(a[0], a[1], a[2], a[3], dtype=dtype,
-                                          name=name),
-        "Bottleneck": lambda: L.Bottleneck(a[0], *(a[1:]), dtype=dtype, name=name),
+                                          quant=quant, name=name),
+        "Bottleneck": lambda: L.Bottleneck(a[0], *(a[1:]), dtype=dtype,
+                                           quant=quant, name=name),
         "BottleneckCSP": lambda: L.BottleneckCSP(a[0], *(a[1:]), dtype=dtype,
                                                  name=name),
         "C3TR": lambda: L.C3TR(a[0], *(a[1:]), dtype=dtype, name=name),
         "C3SPP": lambda: L.C3SPP(a[0], *(a[1:]), dtype=dtype, name=name),
         "C3Ghost": lambda: L.C3Ghost(a[0], *(a[1:]), dtype=dtype, name=name),
         "SPP": lambda: L.SPP(a[0], tuple(a[1]) if len(a) > 1 else (5, 9, 13),
-                             dtype=dtype, name=name),
+                             dtype=dtype, quant=quant, name=name),
         "SPPF": lambda: L.SPPF(a[0], a[1] if len(a) > 1 else 5, dtype=dtype,
-                               name=name),
+                               quant=quant, name=name),
         "GhostConv": lambda: L.GhostConv(a[0], *(a[1:]), dtype=dtype, name=name),
         "GhostBottleneck": lambda: L.GhostBottleneck(a[0], *(a[1:]), dtype=dtype,
                                                      name=name),
@@ -289,6 +294,14 @@ class DeSeNet(nn.Module):
     # checkpoints convert exactly in both directions)
     seg_upsample: bool = True  # False: seg head returns 1/8-res logits for
     # the fused Pallas upsample+argmax tail (ops/seg_pallas.py)
+    quant: Any = None  # QuantCfg for the int8 W8A8 inference path (quant.py)
+
+    # modules that natively carry QTensors through the int8 path; others
+    # receive dequantized inputs from the walker
+    _QUANT_AWARE = frozenset({
+        "Conv", "C3", "Focus", "FusedFocus", "SPP", "SPPF", "Bottleneck",
+        "Upsample", "Concat",
+    })
 
     def setup(self):
         mods = {}
@@ -302,19 +315,20 @@ class DeSeNet(nn.Module):
                     name=f"l{ls.i}",
                 )
             else:
+                q = self.quant if ls.name in self._QUANT_AWARE else None
                 if ls.n > 1:
                     # outer repeats mirror torch's nn.Sequential wrapping:
                     # torch 'model.i.j.*' <-> flax 'l{i}s{j}/*'
                     mods[f"l{ls.i}"] = tuple(
                         _instantiate(ls, self.dtype, name=f"l{ls.i}s{j}",
                                      fused_csp=self.fused_csp,
-                                     seg_upsample=self.seg_upsample)
+                                     seg_upsample=self.seg_upsample, quant=q)
                         for j in range(ls.n)
                     )
                 else:
                     m = _instantiate(ls, self.dtype, name=f"l{ls.i}",
                                      fused_csp=self.fused_csp,
-                                     seg_upsample=self.seg_upsample)
+                                     seg_upsample=self.seg_upsample, quant=q)
                     if m is not None:
                         mods[f"l{ls.i}"] = m
         self._mods = mods
@@ -323,6 +337,10 @@ class DeSeNet(nn.Module):
         cache = {}
         det_out = None
         seg_out = None
+        if (self.quant is not None and self.quant.is_int8
+                and self.spec.layers[0].name in self._QUANT_AWARE):
+            # model input is [0,1]: quantize once at the known static scale
+            x = quant_mod.quantize(x, 1.0 / 127.0)
         cache[-1] = x
         prev = x
         for ls in self.spec.layers:
@@ -331,10 +349,23 @@ class DeSeNet(nn.Module):
             else:
                 inp = [prev if j == ls.i - 1 else cache[j] for j in ls.f]
 
+            if ls.name not in self._QUANT_AWARE:
+                # heads and non-quantized blocks consume fp activations
+                if isinstance(inp, quant_mod.QTensor):
+                    inp = quant_mod.dequantize(inp, self.dtype)
+                elif isinstance(inp, list):
+                    inp = [quant_mod.dequantize(v, self.dtype)
+                           if isinstance(v, quant_mod.QTensor) else v
+                           for v in inp]
+
             if ls.name == "Upsample":
                 scale, mode = ls.args
                 assert mode == "nearest", mode
-                out = upsample_nearest(inp, scale)
+                if isinstance(inp, quant_mod.QTensor):
+                    out = quant_mod.QTensor(
+                        upsample_nearest(inp.data, scale), inp.scale)
+                else:
+                    out = upsample_nearest(inp, scale)
             elif ls.name == "Concat":
                 # keep the concat implicit (list) when the only consumer is
                 # the immediately-following conv-entry block and every part
@@ -350,8 +381,11 @@ class DeSeNet(nn.Module):
                     and nxt.n == 1
                     and tuple(nxt.f) == (ls.i,)  # f is absolute indices
                 )
-                out = L.maybe_cat(inp) if splittable else jnp.concatenate(
-                    inp, axis=-1)
+                if any(isinstance(v, quant_mod.QTensor) for v in inp):
+                    out = quant_mod.qt_concat(inp)
+                else:
+                    out = L.maybe_cat(inp) if splittable else jnp.concatenate(
+                        inp, axis=-1)
             elif ls.name == "Detect":
                 out = self._mods[f"l{ls.i}"](inp, train=train)
                 det_out = out
@@ -385,11 +419,12 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 se_nc: Optional[int] = None, anchors: Optional[Sequence] = None,
                 fuse_focus: bool = True, remat: bool = False,
                 fused_csp: bool = True, seg_upsample: bool = True,
-                dtype=jnp.float32) -> Tuple[DeSeNet, ModelSpec]:
+                dtype=jnp.float32, quant=None) -> Tuple[DeSeNet, ModelSpec]:
     spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors,
                         fuse_focus=fuse_focus)
     return DeSeNet(spec=spec, dtype=dtype, remat=remat,
-                   fused_csp=fused_csp, seg_upsample=seg_upsample), spec
+                   fused_csp=fused_csp, seg_upsample=seg_upsample,
+                   quant=quant), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):

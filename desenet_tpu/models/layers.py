@@ -38,6 +38,8 @@ from desenet_tpu.ops.resize import (
     resize_nearest,
     upsample_nearest,
 )
+from desenet_tpu import quant as Q
+from desenet_tpu.quant import QTensor, QuantCfg
 
 Dtype = Any
 
@@ -250,6 +252,7 @@ class ConvBnAct(nn.Module):
     d: int = 1
     act: Union[bool, Callable] = True
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     def setup(self):
         self.conv = Conv2d(
@@ -265,7 +268,46 @@ class ConvBnAct(nn.Module):
             return self.act(x)
         return x
 
+    def _act_fn(self):
+        if self.act is True:
+            return silu
+        return self.act if callable(self.act) else None
+
+    def _int8_call(self, x):
+        """W8A8 inference path (quant.py): int8 conv + fused
+        dequant->BN-fold->act->requant epilogue; int8-only HBM traffic."""
+        if isinstance(x, (list, tuple)):
+            x = Q.qt_concat(x)
+        assert isinstance(x, QTensor), "int8 ConvBnAct needs a QTensor input"
+        p = autopad(self.k, self.p)
+        pad = ((p, p), (p, p)) if isinstance(p, int) else tuple(
+            (v, v) for v in p)
+        params = self.variables["params"]
+        kernel = params["conv"]["conv2d"]["kernel"]
+        y, chs = Q.int8_conv(x, kernel, stride=self.s, padding=pad,
+                             dilation=self.d, groups=self.g)
+        bn = None
+        # BN-skip quirk: reference checks the conv INPUT map (common.py:53)
+        if x.data.shape[1] * x.data.shape[2] > 1:
+            bn = Q.bn_fold_constants(params["bn"]["bn"],
+                                     self.variables["batch_stats"]["bn"]["bn"])
+        return Q.epilogue_requant(
+            y, chs, bn=bn, act=self._act_fn(),
+            out_scale=self.quant.scale_for(Q.site_key(self, "out")))
+
     def __call__(self, x, train: bool = False):
+        q = self.quant
+        if (q is not None and q.is_int8 and not train
+                and not self.is_initializing()):
+            return self._int8_call(x)
+        if q is not None and q.is_int8:
+            # initializing an int8-mode model: run the fp path to create
+            # params, keep the QTensor typing contract for consumers
+            if isinstance(x, (list, tuple)):
+                x = [Q.dequantize(v, self.dtype) if isinstance(v, QTensor)
+                     else v for v in x]
+            elif isinstance(x, QTensor):
+                x = Q.dequantize(x, self.dtype)
         y = self.conv(x)
         # Reference skips BN when the conv INPUT map is 1x1 (common.py:53
         # checks x[0][0].numel() > 1), not the output — a stride>1 conv from
@@ -273,7 +315,13 @@ class ConvBnAct(nn.Module):
         x0 = x[0] if isinstance(x, (list, tuple)) else x
         if x0.shape[1] * x0.shape[2] > 1:
             y = self.bn(y, train)
-        return self._act(y)
+        y = self._act(y)
+        if q is not None:
+            if q.is_calib:
+                Q.sow_absmax(self, "out", y)
+            elif q.is_int8:  # initializing
+                return Q.quantize(y, q.scale_for(Q.site_key(self, "out")))
+        return y
 
 
 class DWConv(nn.Module):
@@ -302,14 +350,25 @@ class Bottleneck(nn.Module):
     g: int = 1
     e: float = 0.5
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype, name="cv2")(y, train)
-        if self.shortcut and x.shape[-1] == self.c2:
-            return x + y
+        c_in = x.data.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=self.quant,
+                      name="cv1")(x, train)
+        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
+                      quant=self.quant, name="cv2")(y, train)
+        if self.shortcut and c_in == self.c2:
+            if isinstance(x, QTensor) and isinstance(y, QTensor):
+                # residual add at the calibrated add-site scale (quant.py)
+                return Q.qt_add(
+                    x, y, self.quant.scale_for(Q.site_key(self, "add")))
+            out = x + y
+            if self.quant is not None and self.quant.is_calib:
+                Q.sow_absmax(self, "add", out)
+            return out
         return y
 
 
@@ -357,24 +416,61 @@ class C3(nn.Module):
     e: float = 0.5
     dtype: Dtype = jnp.float32
     fused: bool = True
+    quant: Optional[QuantCfg] = None
+
+    def _int8_fused_stem(self, x):
+        """int8 cv12 (+bn12+silu folded into the requant epilogue)."""
+        if isinstance(x, (list, tuple)):
+            x = Q.qt_concat(x)
+        params = self.variables["params"]
+        y, chs = Q.int8_conv(x, params["cv12"]["conv2d"]["kernel"])
+        bn = Q.bn_fold_constants(params["bn12"]["bn"],
+                                 self.variables["batch_stats"]["bn12"]["bn"])
+        return Q.epilogue_requant(
+            y, chs, bn=bn, act=silu,
+            out_scale=self.quant.scale_for(Q.site_key(self, "cv12_out")))
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
+        q = self.quant
+        q_live = (q is not None and q.is_int8 and not train
+                  and not self.is_initializing())
         if self.fused:
-            y = Conv2d(2 * c_, 1, 1, dtype=self.dtype, name="cv12")(x)
-            y = BatchNorm(self.dtype, name="bn12")(y, train)
-            y = silu(y)
-            y1, y2 = y[..., :c_], y[..., c_:]
+            if q_live:
+                yq = self._int8_fused_stem(x)
+                y1 = QTensor(yq.data[..., :c_], yq.scale)
+                y2 = QTensor(yq.data[..., c_:], yq.scale)
+            else:
+                if q is not None and q.is_int8:  # initializing
+                    x = Q.dequantize(x, self.dtype) if isinstance(
+                        x, QTensor) else x
+                y = Conv2d(2 * c_, 1, 1, dtype=self.dtype, name="cv12")(x)
+                y = BatchNorm(self.dtype, name="bn12")(y, train)
+                y = silu(y)
+                if q is not None and q.is_calib:
+                    Q.sow_absmax(self, "cv12_out", y)
+                if q is not None and q.is_int8:  # initializing
+                    y = Q.quantize(
+                        y, q.scale_for(Q.site_key(self, "cv12_out")))
+                    y1 = QTensor(y.data[..., :c_], y.scale)
+                    y2 = QTensor(y.data[..., c_:], y.scale)
+                else:
+                    y1, y2 = y[..., :c_], y[..., c_:]
         else:
-            y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-            y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+            y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=q,
+                           name="cv1")(x, train)
+            y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=q,
+                           name="cv2")(x, train)
         for i in range(self.n):
-            y1 = Bottleneck(c_, self.shortcut, self.g, 1.0, self.dtype, name=f"m_{i}")(
-                y1, train
-            )
-        y = jnp.concatenate([y1, y2], axis=-1)
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+            y1 = Bottleneck(c_, self.shortcut, self.g, 1.0, self.dtype,
+                            quant=q, name=f"m_{i}")(y1, train)
+        if isinstance(y1, QTensor):
+            y = Q.qt_concat([y1, y2])
+        else:
+            y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, quant=q,
+                         name="cv3")(y, train)
 
 
 class SPP(nn.Module):
@@ -383,16 +479,25 @@ class SPP(nn.Module):
     c2: int
     k: Tuple[int, ...] = (5, 9, 13)
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = x.shape[-1] // 2
-        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        c_ = (x.data if isinstance(x, QTensor) else x).shape[-1] // 2
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=self.quant,
+                      name="cv1")(x, train)
+        if isinstance(y, QTensor):
+            # max pooling commutes with the positive scale: pool int8 as-is
+            pools = [y] + [QTensor(max_pool_same(y.data, k), y.scale)
+                           for k in self.k]
+            return ConvBnAct(self.c2, 1, 1, dtype=self.dtype,
+                             quant=self.quant, name="cv2")(
+                Q.qt_concat(pools), train)
         pools = [y] + [max_pool_same(y, k) for k in self.k]
         # implicit concat: cv2 is a 1x1 over the channel-concat; feeding the
         # list avoids this libtpu's pad+maximum concat decomposition
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
-            maybe_cat(pools), train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, quant=self.quant,
+                         name="cv2")(maybe_cat(pools), train)
 
 
 class SPPF(nn.Module):
@@ -401,17 +506,26 @@ class SPPF(nn.Module):
     c2: int
     k: int = 5
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = x.shape[-1] // 2
-        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        c_ = (x.data if isinstance(x, QTensor) else x).shape[-1] // 2
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=self.quant,
+                      name="cv1")(x, train)
+        if isinstance(y, QTensor):
+            y1 = QTensor(max_pool_same(y.data, self.k), y.scale)
+            y2 = QTensor(max_pool_same(y1.data, self.k), y.scale)
+            y3 = QTensor(max_pool_same(y2.data, self.k), y.scale)
+            return ConvBnAct(self.c2, 1, 1, dtype=self.dtype,
+                             quant=self.quant, name="cv2")(
+                Q.qt_concat([y, y1, y2, y3]), train)
         y1 = max_pool_same(y, self.k)
         y2 = max_pool_same(y1, self.k)
         y3 = max_pool_same(y2, self.k)
         # implicit concat into cv2 (no pad+max materialization, PERF.md)
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(
-            maybe_cat([y, y1, y2, y3]), train)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, quant=self.quant,
+                         name="cv2")(maybe_cat([y, y1, y2, y3]), train)
 
 
 class Focus(nn.Module):
@@ -430,9 +544,13 @@ class Focus(nn.Module):
     g: int = 1
     act: Union[bool, Callable] = True
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        scale = None
+        if isinstance(x, QTensor):  # slice/concat preserve the scale
+            x, scale = x.data, x.scale
         parts = [
             x[:, ::2, ::2, :],
             x[:, 1::2, ::2, :],
@@ -440,9 +558,11 @@ class Focus(nn.Module):
             x[:, 1::2, 1::2, :],
         ]
         y = jnp.concatenate(parts, axis=-1)
+        if scale is not None:
+            y = QTensor(y, scale)
         return ConvBnAct(
             self.c2, self.k, self.s, self.p, self.g, act=self.act,
-            dtype=self.dtype, name="conv",
+            dtype=self.dtype, quant=self.quant, name="conv",
         )(y, train)
 
 

@@ -142,7 +142,8 @@ def max_pool_same(x: jax.Array, k: int) -> jax.Array:
     """MaxPool2d(kernel=k, stride=1, padding=k//2) on NHWC — the SPP pools
     (reference common.py:179). -inf padding == torch behavior for stride 1,
     pad k//2 (window always overlaps valid data)."""
-    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else np.asarray(jnp.iinfo(x.dtype).min, x.dtype)[()])
     return jax.lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,306 @@
+"""Post-training int8 (W8A8) inference quantization, TPU-native.
+
+The v5e MXU runs int8 x int8 -> int32 contractions at 2x the bf16 rate, and
+— the bigger lever here — int8 activations halve HBM traffic on a forward
+pass that is bandwidth-bound (PERF.md: 23.3 GB accessed per b128 eval
+forward at ~0.8 TB/s peak). Measured on-chip: a representative backbone conv
+(b128, 80x80x128, 3x3) runs 1.35x faster with int8 operands end-to-end.
+
+Design (static, compile-time scales — no dynamic quantization ops):
+
+- ``QTensor`` = (int8 data, *Python float* scale). Scales are trace-time
+  constants, so every requantization factor folds into the conv epilogue and
+  XLA fuses dequant -> BN-affine -> SiLU -> requant into the conv itself;
+  nothing but int8 tensors crosses HBM between conv sites.
+- Weights: per-output-channel symmetric int8, quantized at trace time from
+  the fp32 params (weight tensors are ~7.5M values — re-quantizing per call
+  is noise next to activation traffic, and the checkpoint stays a single
+  fp32 source of truth; no second serialized format).
+- Activations: per-tensor symmetric scales calibrated offline by running a
+  few batches with each conv site ``sow``-ing the absmax of its output into
+  a ``qcal`` collection (max-reduced across calls); see
+  :func:`calibrate_scales`.
+- BatchNorm (inference = running stats) folds into the epilogue affine:
+  y = silu((conv_i32 * (s_in * s_w[c] * g[c])) + b[c]), then
+  q = round(y / s_out) clipped to [-127, 127].
+- Graph glue stays int8: maxpool / nearest-upsample / space-to-depth slices
+  are order- or scale-preserving; channel concat requantizes parts to the
+  max part scale; residual adds requantize to a calibrated add-site scale.
+- Heads (Detect, SegMask*) dequantize at entry and run bf16: they are a
+  small fraction of traffic and the decode/argmax numerics gate parity.
+
+The reference has no quantized path (fp16 eval only, scripts/val.py:178);
+this is a TPU-first capability addition measured against the bf16 path's
+accuracy on the val stack (see tests/test_quant.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+QMAX = 127.0
+
+
+@jax.tree_util.register_pytree_node_class
+class QTensor:
+    """int8 activation tensor with a static (trace-time) symmetric scale.
+
+    real value = data * scale. Deliberately NOT a tuple subclass: layer code
+    distinguishes "list of inputs" from "one quantized input" with
+    isinstance checks. The scale is pytree aux data, so it stays a Python
+    float (compile-time constant) across jit boundaries.
+    """
+
+    __slots__ = ("data", "scale")
+
+    def __init__(self, data: jax.Array, scale: float):
+        self.data = data
+        self.scale = scale
+
+    def tree_flatten(self):
+        return (self.data,), self.scale
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    def __repr__(self):
+        return f"QTensor({self.data.shape}, scale={self.scale})"
+
+
+QArray = Union[jax.Array, QTensor]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantCfg:
+    """Static quantization config threaded through the module tree.
+
+    mode:
+      - "calib": fp path, every conv site sows output absmax into ``qcal``.
+      - "int8":  quantized inference path using ``scales``.
+    scales: ((site_key, scale), ...) — site_key is the flax scope path of the
+      sow site joined with '/', e.g. "l4/cv1/out"; scale is absmax/127.
+    """
+
+    mode: str = "calib"
+    scales: Tuple[Tuple[str, float], ...] = ()
+
+    def scale_for(self, key: str) -> float:
+        d = _scales_dict(self.scales)
+        if key not in d:
+            raise KeyError(
+                f"no calibrated scale for site {key!r}; re-run calibration "
+                f"({len(d)} sites known)")
+        return d[key]
+
+    @property
+    def is_calib(self) -> bool:
+        return self.mode == "calib"
+
+    @property
+    def is_int8(self) -> bool:
+        return self.mode == "int8"
+
+
+_SCALES_CACHE: Dict[Tuple, Dict[str, float]] = {}
+
+
+def _scales_dict(scales: Tuple[Tuple[str, float], ...]) -> Dict[str, float]:
+    d = _SCALES_CACHE.get(scales)
+    if d is None:
+        d = dict(scales)
+        _SCALES_CACHE[scales] = d
+    return d
+
+
+def quantize(x: jax.Array, scale: float) -> QTensor:
+    """fp tensor -> QTensor at the given static scale (round, saturate)."""
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -QMAX, QMAX)
+    return QTensor(q.astype(jnp.int8), scale)
+
+
+def dequantize(x: QArray, dtype=jnp.float32) -> jax.Array:
+    if isinstance(x, QTensor):
+        return (x.data.astype(jnp.float32) * x.scale).astype(dtype)
+    return x
+
+
+def requantize(x: QTensor, scale: float) -> QTensor:
+    """Change a QTensor's scale (exact when scale >= x.scale)."""
+    if scale == x.scale:
+        return x
+    r = x.data.astype(jnp.float32) * (x.scale / scale)
+    return QTensor(jnp.clip(jnp.round(r), -QMAX, QMAX).astype(jnp.int8), scale)
+
+
+def qt_concat(xs: Sequence[QArray], axis: int = -1) -> QArray:
+    """Channel concat of QTensors: requantize every part to the max part
+    scale (no clipping possible), concat int8."""
+    if not any(isinstance(x, QTensor) for x in xs):
+        return jnp.concatenate(list(xs), axis=axis)
+    assert all(isinstance(x, QTensor) for x in xs), "mixed QT/fp concat"
+    s = max(x.scale for x in xs)
+    return QTensor(
+        jnp.concatenate([requantize(x, s).data for x in xs], axis=axis), s)
+
+
+def qt_add(a: QTensor, b: QTensor, out_scale: float) -> QTensor:
+    """Residual add: dequant both in-register, requant at the calibrated
+    add-site scale. Fuses into the producer conv's epilogue."""
+    y = a.data.astype(jnp.float32) * a.scale + b.data.astype(jnp.float32) * b.scale
+    return QTensor(
+        jnp.clip(jnp.round(y / out_scale), -QMAX, QMAX).astype(jnp.int8),
+        out_scale)
+
+
+def quantize_kernel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """HWIO fp32 kernel -> (int8 kernel, per-output-channel scale [O]).
+
+    Symmetric per-channel: s_w[o] = absmax(w[..., o]) / 127.
+    """
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    s_w = jnp.maximum(absmax, 1e-12) / QMAX
+    qw = jnp.clip(jnp.round(w / s_w), -QMAX, QMAX).astype(jnp.int8)
+    return qw, s_w
+
+
+def int8_conv(
+    qx: QTensor,
+    kernel_f32: jax.Array,
+    *,
+    stride: int = 1,
+    padding=((0, 0), (0, 0)),
+    dilation: int = 1,
+    groups: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 x int8 -> int32 conv; returns (y_i32, per-channel fp32 scale)
+    where real conv output = y_i32 * scale[c]."""
+    qw, s_w = quantize_kernel(kernel_f32)
+    y = jax.lax.conv_general_dilated(
+        qx.data, qw,
+        (stride, stride), padding,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return y, s_w * qx.scale
+
+
+def epilogue_requant(
+    y_i32: jax.Array,
+    ch_scale: jax.Array,
+    *,
+    bn: Optional[Tuple[jax.Array, jax.Array]] = None,  # (scale[c], bias[c])
+    bias: Optional[jax.Array] = None,
+    act=None,  # callable on fp32, or None
+    out_scale: float,
+) -> QTensor:
+    """Fused conv epilogue: dequant -> (BN affine | bias) -> act -> requant.
+
+    All per-channel constants are fp32 vectors; XLA fuses the whole chain
+    into the conv output so only int8 reaches HBM.
+    """
+    g = ch_scale
+    b = None
+    if bn is not None:
+        g = g * bn[0]
+        b = bn[1]
+    y = y_i32.astype(jnp.float32) * g
+    if b is not None:
+        y = y + b
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if act is not None:
+        y = act(y)
+    q = jnp.clip(jnp.round(y / out_scale), -QMAX, QMAX)
+    return QTensor(q.astype(jnp.int8), out_scale)
+
+
+def bn_fold_constants(bn_params, bn_stats, eps: float = 1e-3):
+    """flax BatchNorm params/stats -> (scale[c], bias[c]) running-stats fold."""
+    gamma = bn_params["scale"].astype(jnp.float32)
+    beta = bn_params["bias"].astype(jnp.float32)
+    mu = bn_stats["mean"].astype(jnp.float32)
+    var = bn_stats["var"].astype(jnp.float32)
+    s = gamma * jax.lax.rsqrt(var + eps)
+    return s, beta - mu * s
+
+
+def flatten_qcal(tree) -> Dict[str, float]:
+    """Flatten a mutated ``qcal`` collection into {site_key: scale}.
+
+    sow values are stored as tuples (flax appends); we max-reduce at sow
+    time so each leaf is a 1-tuple of a scalar absmax.
+    """
+    out: Dict[str, float] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            v = node[0] if isinstance(node, (tuple, list)) else node
+            absmax = float(np.asarray(jax.device_get(v)))
+            out["/".join(path)] = max(absmax, 1e-8) / QMAX
+
+    walk(tree, ())
+    return out
+
+
+def calibrate_scales(model, variables, batches) -> Tuple[Tuple[str, float], ...]:
+    """Run calibration batches through a mode="calib" model; return the
+    static scales tuple for QuantCfg(mode="int8").
+
+    ``model`` must be built with quant=QuantCfg(mode="calib")
+    (see build_model). Scales are max-reduced across batches.
+    """
+    @jax.jit
+    def run(variables, x):
+        _, mut = model.apply(variables, x, train=False, mutable=["qcal"])
+        return mut["qcal"]
+
+    acc: Dict[str, float] = {}
+    for x in batches:
+        for k, v in flatten_qcal(jax.device_get(run(variables, x))).items():
+            acc[k] = max(acc.get(k, 0.0), v)
+    return tuple(sorted(acc.items()))
+
+
+def quantize_for_inference(cfg, variables, calib_batches, **build_kw):
+    """One-call PTQ: calibrate activation scales on a few batches, return
+    (int8_model, spec, scales). ``build_kw`` are forwarded to build_model
+    (dtype, seg_upsample, ...); variables are the trained fp variables and
+    remain the single source of truth (weights re-quantize at trace time).
+    """
+    from desenet_tpu.models import build_model
+
+    calib_model, _ = build_model(cfg, quant=QuantCfg(mode="calib"), **build_kw)
+    scales = calibrate_scales(calib_model, variables, calib_batches)
+    model, spec = build_model(cfg, quant=QuantCfg(mode="int8", scales=scales),
+                              **build_kw)
+    return model, spec, scales
+
+
+# ---------------------------------------------------------------------------
+# module-side helpers (called from layers.py block code)
+
+
+def sow_absmax(mdl, site: str, y: jax.Array) -> None:
+    """Record the running absmax of y at this module's ``site`` (calib mode)."""
+    mdl.sow(
+        "qcal", site,
+        jnp.max(jnp.abs(y.astype(jnp.float32))),
+        init_fn=lambda: jnp.asarray(0.0, jnp.float32),
+        reduce_fn=jnp.maximum,
+    )
+
+
+def site_key(mdl, site: str) -> str:
+    return "/".join(tuple(mdl.scope.path) + (site,))
