@@ -42,6 +42,8 @@ def run(
     save_conf=False,
     save_json=False,
     coco_anno="",
+    int8=False,
+    calib_batches=2,
 ):
     data = check_dataset(data)
     variables, meta = load_inference_variables(weights)
@@ -50,6 +52,28 @@ def run(
     model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
                               se_nc=meta["se_nc"], dtype=dtype)
     imgsz = check_img_size(imgsz, s=max(spec.det_strides))
+
+    if int8:
+        # W8A8 PTQ (quant.py): calibrate activation scales on a few val-task
+        # batches, then swap in the int8 inference model. The reference has
+        # no quantized path (fp16 only, val.py:178); report the accuracy
+        # delta against --half via a second run.
+        from desenet_tpu import quant as Q
+
+        calib_loader, _ = create_mixed_dataloader(
+            data.get("train", data["val"]), img_size=imgsz,
+            batch_size=min(8, batch_size), augment=False, rect=False,
+            stride=max(spec.det_strides), single_cls=single_cls, workers=2,
+        )
+        calib = []
+        for b in calib_loader:
+            calib.append(jnp.asarray(b["image"], jnp.float32) / 255.0)
+            if len(calib) >= calib_batches:
+                break
+        model, spec, _ = Q.quantize_for_inference(
+            config_path(meta["cfg"]), variables, calib, nc=meta["de_nc"],
+            se_nc=meta["se_nc"], dtype=dtype)
+        print(f"int8: calibrated on {len(calib)} batches")
 
     nc = 1 if single_cls else int(data["de"]["nc"])
     se_nc = int(data["se"]["nc"])
@@ -153,6 +177,8 @@ def parse_opt(argv=None):
     p.add_argument("--coco-anno", type=str, default="",
                    help="COCO instances json for vendored COCOeval "
                         "(default: <data path>/annotations/instances_val2017.json)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 W8A8 PTQ inference (calibrates on train batches)")
     return p.parse_args(argv)
 
 
@@ -173,7 +199,7 @@ def main(argv=None):
         o.data, o.weights, o.batch_size, o.img_size, o.conf_thres,
         o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
         o.plots, o.save_dir, o.workers, o.augment, o.save_txt, o.save_conf,
-        o.save_json, o.coco_anno,
+        o.save_json, o.coco_anno, int8=o.int8,
     )
 
 

@@ -43,6 +43,8 @@ _BLOCKS_WITH_WIDTH = {
 _REPEAT_INNER = {"BottleneckCSP", "C3", "C3TR", "C3Ghost"}
 _SEG_HEADS = {"SegMaskLab", "SegMaskBase", "SegMaskPSP", "SegMaskPSP2",
               "SegMaskBiSe"}
+# seg heads with a native int8 path (quant.py); others dequantize at entry
+_QUANT_SEG_HEADS = {"SegMaskPSP", "SegMaskPSP2"}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,6 +273,8 @@ def _instantiate(spec: LayerSpec, dtype, name: str,
                   name=name, upsample=seg_upsample)
         if spec.name != "SegMaskPSP2":
             kw["shortcut"] = shortcut
+        if spec.name in _QUANT_SEG_HEADS:
+            kw["quant"] = quant
         return cls(**kw)
     raise ValueError(spec.name)
 
@@ -300,7 +304,7 @@ class DeSeNet(nn.Module):
     # receive dequantized inputs from the walker
     _QUANT_AWARE = frozenset({
         "Conv", "C3", "Focus", "FusedFocus", "SPP", "SPPF", "Bottleneck",
-        "Upsample", "Concat",
+        "Upsample", "Concat", "SegMaskPSP", "SegMaskPSP2",
     })
 
     def setup(self):
@@ -382,7 +386,8 @@ class DeSeNet(nn.Module):
                     and tuple(nxt.f) == (ls.i,)  # f is absolute indices
                 )
                 if any(isinstance(v, quant_mod.QTensor) for v in inp):
-                    out = quant_mod.qt_concat(inp)
+                    out = (L.qt_maybe_cat(inp) if splittable
+                           else quant_mod.qt_concat(inp))
                 else:
                     out = L.maybe_cat(inp) if splittable else jnp.concatenate(
                         inp, axis=-1)

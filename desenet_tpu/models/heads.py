@@ -19,7 +19,7 @@ TPU design notes:
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +37,11 @@ from desenet_tpu.models.layers import (
     PyramidPooling,
     RFB2,
     maybe_cat,
+    qt_maybe_cat,
     torch_conv_kernel_init,
 )
+from desenet_tpu import quant as Q
+from desenet_tpu.quant import QTensor, QuantCfg
 from desenet_tpu.ops.resize import resize_bilinear
 
 Dtype = Any
@@ -141,15 +144,38 @@ class _SegStem(nn.Module):
 
     c_hid: int
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
-        f8 = ConvBnAct(self.c_hid, 1, dtype=self.dtype, name="m8")(xs[0], train)
-        f16 = ConvBnAct(self.c_hid, 1, dtype=self.dtype, name="m16")(xs[1], train)
+        q = self.quant
+        f8 = ConvBnAct(self.c_hid, 1, dtype=self.dtype, quant=q,
+                       name="m8")(xs[0], train)
+        f16 = ConvBnAct(self.c_hid, 1, dtype=self.dtype, quant=q,
+                        name="m16")(xs[1], train)
+        f32 = ConvBnAct(self.c_hid, 1, dtype=self.dtype, quant=q,
+                        name="m32")(xs[2], train)
+        if isinstance(f8, QTensor):
+            hw = f8.data.shape[1:3]
+            f16 = Q.qt_resize_bilinear(f16, hw, align_corners=True)
+            f32 = Q.qt_resize_bilinear(f32, hw, align_corners=True)
+            return qt_maybe_cat([f8, f16, f32])
         f16 = resize_bilinear(f16, f8.shape[1:3], align_corners=True)
-        f32 = ConvBnAct(self.c_hid, 1, dtype=self.dtype, name="m32")(xs[2], train)
         f32 = resize_bilinear(f32, f8.shape[1:3], align_corners=True)
         return maybe_cat([f8, f16, f32])
+
+
+def _seg_out_conv(mdl, fused, n_segcls, dtype):
+    """Final 1x1 class conv (reference yolo.py:193, 232). With an int8 input
+    the conv runs s8 x s8 with bias and returns fp logits directly (no
+    output requant — decode precision preserved)."""
+    if isinstance(fused, QTensor) and not mdl.is_initializing():
+        p = mdl.variables["params"]["out"]["conv2d"]
+        return Q.int8_conv_block(fused, p["kernel"], bias=p["bias"],
+                                 out_scale=None, out_dtype=dtype)
+    if isinstance(fused, QTensor):  # initializing
+        fused = Q.dequantize(fused, dtype)
+    return Conv2d(n_segcls, 1, use_bias=True, dtype=dtype, name="out")(fused)
 
 
 class SegMaskPSP2(nn.Module):
@@ -162,25 +188,24 @@ class SegMaskPSP2(nn.Module):
     c_hid: int = 256
     dtype: Dtype = jnp.float32
     upsample: bool = True  # False: return 1/8-res logits (fused Pallas seg tail)
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
         map_reduce = 6
-        feat = _SegStem(self.c_hid, self.dtype, name="stem")(xs, train)
+        q = self.quant
+        feat = _SegStem(self.c_hid, self.dtype, quant=q, name="stem")(xs, train)
         spatial = ACSP(
             self.c_hid, map_reduce=map_reduce, d=(2, 3), has_global=True,
-            dtype=self.dtype, name="spatial_path",
+            dtype=self.dtype, quant=q, name="spatial_path",
         )(feat, train)
         ctx = ConvBnAct(self.c_hid // map_reduce, 1, 1, dtype=self.dtype,
-                        name="context_red")(feat, train)
+                        quant=q, name="context_red")(feat, train)
         ctx = PyramidPooling(k=(1, 2, 3, 6), short_cut=False, dtype=self.dtype,
-                             name="context_pp")(ctx, train)
-        fused = FFM(self.c_hid, is_cat=True, k=3, dtype=self.dtype, name="ffm")(
-            [spatial, ctx], train
-        )
-        out = Conv2d(self.n_segcls, 1, use_bias=True, dtype=self.dtype, name="out")(
-            fused
-        )
+                             quant=q, name="context_pp")(ctx, train)
+        fused = FFM(self.c_hid, is_cat=True, k=3, dtype=self.dtype, quant=q,
+                    name="ffm")([spatial, ctx], train)
+        out = _seg_out_conv(self, fused, self.n_segcls, self.dtype)
         if not self.upsample:
             return out
         h, w = out.shape[1:3]
@@ -197,17 +222,19 @@ class SegMaskPSP(nn.Module):
     shortcut: bool = False
     dtype: Dtype = jnp.float32
     upsample: bool = True  # False: return 1/8-res logits (fused Pallas seg tail)
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
-        feat = _SegStem(self.c_hid, self.dtype, name="stem")(xs, train)
-        y = RFB2(self.c_hid, map_reduce=6, d=(2, 3), dtype=self.dtype, name="rfb")(
-            feat, train
-        )
+        q = self.quant
+        feat = _SegStem(self.c_hid, self.dtype, quant=q, name="stem")(xs, train)
+        y = RFB2(self.c_hid, map_reduce=6, d=(2, 3), dtype=self.dtype, quant=q,
+                 name="rfb")(feat, train)
         y = PyramidPooling(k=(1, 2, 3, 6), short_cut=True, dtype=self.dtype,
-                           name="pp")(y, train)
-        y = FFM(self.c_hid, is_cat=False, k=3, dtype=self.dtype, name="ffm")(y, train)
-        out = Conv2d(self.n_segcls, 1, use_bias=True, dtype=self.dtype, name="out")(y)
+                           quant=q, name="pp")(y, train)
+        y = FFM(self.c_hid, is_cat=False, k=3, dtype=self.dtype, quant=q,
+                name="ffm")(y, train)
+        out = _seg_out_conv(self, y, self.n_segcls, self.dtype)
         if not self.upsample:
             return out
         h, w = out.shape[1:3]

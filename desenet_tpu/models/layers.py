@@ -208,9 +208,11 @@ def silu(x):
 
 
 def _sum_channels(x) -> int:
-    """Channel count of a tensor or an implicit-concat list."""
+    """Channel count of a tensor, QTensor, or implicit-concat list."""
     if isinstance(x, (list, tuple)):
-        return sum(v.shape[-1] for v in x)
+        return sum(_sum_channels(v) for v in x)
+    if isinstance(x, QTensor):
+        return x.data.shape[-1]
     return x.shape[-1]
 
 
@@ -230,9 +232,21 @@ def maybe_cat(xs, axis=-1):
     return jnp.concatenate(xs, axis=axis)
 
 
+def qt_maybe_cat(xs):
+    """int8 analog of maybe_cat: keep the implicit concat (consumer runs the
+    int8 split-conv) when every part is MXU-wide, else materialize via
+    qt_concat (requant to a common scale). Same width gate as bf16 — narrow
+    int8 parts starve the MXU contraction just the same."""
+    if all(v.data.shape[-1] >= SPLIT_CONV_MIN_PART for v in xs):
+        return list(xs)
+    return Q.qt_concat(xs)
+
+
 def _spatial(x):
     if isinstance(x, (list, tuple)):
         x = x[0]
+    if isinstance(x, QTensor):
+        x = x.data
     return x.shape[1:3]
 
 
@@ -273,33 +287,39 @@ class ConvBnAct(nn.Module):
             return silu
         return self.act if callable(self.act) else None
 
-    def _int8_call(self, x):
+    def _int8_call(self, x, residual=None):
         """W8A8 inference path (quant.py): int8 conv + fused
-        dequant->BN-fold->act->requant epilogue; int8-only HBM traffic."""
-        if isinstance(x, (list, tuple)):
-            x = Q.qt_concat(x)
-        assert isinstance(x, QTensor), "int8 ConvBnAct needs a QTensor input"
+        dequant->BN-fold->act(->+residual)->requant epilogue; int8-only HBM
+        traffic. A list input is an implicit channel-concat convolved
+        part-by-part (int8 split-conv) — no concat materialization, no
+        requant."""
+        if isinstance(x, (list, tuple)) and self.g != 1:
+            x = Q.qt_concat(x)  # grouped conv can't slice the kernel freely
         p = autopad(self.k, self.p)
         pad = ((p, p), (p, p)) if isinstance(p, int) else tuple(
             (v, v) for v in p)
         params = self.variables["params"]
         kernel = params["conv"]["conv2d"]["kernel"]
-        y, chs = Q.int8_conv(x, kernel, stride=self.s, padding=pad,
-                             dilation=self.d, groups=self.g)
+        x0 = x[0] if isinstance(x, (list, tuple)) else x
         bn = None
         # BN-skip quirk: reference checks the conv INPUT map (common.py:53)
-        if x.data.shape[1] * x.data.shape[2] > 1:
+        if x0.data.shape[1] * x0.data.shape[2] > 1:
             bn = Q.bn_fold_constants(params["bn"]["bn"],
                                      self.variables["batch_stats"]["bn"]["bn"])
-        return Q.epilogue_requant(
-            y, chs, bn=bn, act=self._act_fn(),
+        return Q.int8_conv_block(
+            x, kernel, stride=self.s, padding=pad, dilation=self.d,
+            groups=self.g, bn=bn, act=self._act_fn(), residual=residual,
             out_scale=self.quant.scale_for(Q.site_key(self, "out")))
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, residual=None):
+        """``residual`` (optional): shortcut tensor added AFTER the
+        activation (reference Bottleneck, common.py:111) so the quantized
+        path can fold the add into the conv epilogue; the calibrated 'out'
+        site then covers the summed tensor."""
         q = self.quant
         if (q is not None and q.is_int8 and not train
                 and not self.is_initializing()):
-            return self._int8_call(x)
+            return self._int8_call(x, residual=residual)
         if q is not None and q.is_int8:
             # initializing an int8-mode model: run the fp path to create
             # params, keep the QTensor typing contract for consumers
@@ -316,6 +336,9 @@ class ConvBnAct(nn.Module):
         if x0.shape[1] * x0.shape[2] > 1:
             y = self.bn(y, train)
         y = self._act(y)
+        if residual is not None:
+            y = y + (Q.dequantize(residual, self.dtype)
+                     if isinstance(residual, QTensor) else residual)
         if q is not None:
             if q.is_calib:
                 Q.sow_absmax(self, "out", y)
@@ -355,20 +378,21 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        c_in = x.data.shape[-1] if isinstance(x, QTensor) else x.shape[-1]
+        c_in = _sum_channels(x)
+        use_res = self.shortcut and c_in == self.c2
         y = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=self.quant,
                       name="cv1")(x, train)
+        if use_res and self.quant is not None:
+            # fold the shortcut add into cv2's epilogue: the calibrated
+            # cv2/out site covers the summed tensor, and the int8 path
+            # reads the residual in-register (no separate add pass)
+            return ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
+                             quant=self.quant, name="cv2")(
+                y, train, residual=x)
         y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
                       quant=self.quant, name="cv2")(y, train)
-        if self.shortcut and c_in == self.c2:
-            if isinstance(x, QTensor) and isinstance(y, QTensor):
-                # residual add at the calibrated add-site scale (quant.py)
-                return Q.qt_add(
-                    x, y, self.quant.scale_for(Q.site_key(self, "add")))
-            out = x + y
-            if self.quant is not None and self.quant.is_calib:
-                Q.sow_absmax(self, "add", out)
-            return out
+        if use_res:
+            return x + y
         return y
 
 
@@ -419,15 +443,13 @@ class C3(nn.Module):
     quant: Optional[QuantCfg] = None
 
     def _int8_fused_stem(self, x):
-        """int8 cv12 (+bn12+silu folded into the requant epilogue)."""
-        if isinstance(x, (list, tuple)):
-            x = Q.qt_concat(x)
+        """int8 cv12 (+bn12+silu folded into the requant epilogue); list
+        input = implicit concat via the int8 split-conv."""
         params = self.variables["params"]
-        y, chs = Q.int8_conv(x, params["cv12"]["conv2d"]["kernel"])
         bn = Q.bn_fold_constants(params["bn12"]["bn"],
                                  self.variables["batch_stats"]["bn12"]["bn"])
-        return Q.epilogue_requant(
-            y, chs, bn=bn, act=silu,
+        return Q.int8_conv_block(
+            x, params["cv12"]["conv2d"]["kernel"], bn=bn, act=silu,
             out_scale=self.quant.scale_for(Q.site_key(self, "cv12_out")))
 
     @nn.compact
@@ -443,8 +465,11 @@ class C3(nn.Module):
                 y2 = QTensor(yq.data[..., c_:], yq.scale)
             else:
                 if q is not None and q.is_int8:  # initializing
-                    x = Q.dequantize(x, self.dtype) if isinstance(
-                        x, QTensor) else x
+                    if isinstance(x, (list, tuple)):
+                        x = [Q.dequantize(v, self.dtype)
+                             if isinstance(v, QTensor) else v for v in x]
+                    elif isinstance(x, QTensor):
+                        x = Q.dequantize(x, self.dtype)
                 y = Conv2d(2 * c_, 1, 1, dtype=self.dtype, name="cv12")(x)
                 y = BatchNorm(self.dtype, name="bn12")(y, train)
                 y = silu(y)
@@ -466,7 +491,7 @@ class C3(nn.Module):
             y1 = Bottleneck(c_, self.shortcut, self.g, 1.0, self.dtype,
                             quant=q, name=f"m_{i}")(y1, train)
         if isinstance(y1, QTensor):
-            y = Q.qt_concat([y1, y2])
+            y = qt_maybe_cat([y1, y2])  # implicit concat if MXU-wide
         else:
             y = jnp.concatenate([y1, y2], axis=-1)
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, quant=q,
@@ -483,16 +508,17 @@ class SPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = (x.data if isinstance(x, QTensor) else x).shape[-1] // 2
+        c_ = _sum_channels(x) // 2
         y = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=self.quant,
                       name="cv1")(x, train)
         if isinstance(y, QTensor):
-            # max pooling commutes with the positive scale: pool int8 as-is
+            # max pooling commutes with the positive scale: pool int8 as-is;
+            # cv2 consumes the implicit concat via the int8 split-conv
             pools = [y] + [QTensor(max_pool_same(y.data, k), y.scale)
                            for k in self.k]
             return ConvBnAct(self.c2, 1, 1, dtype=self.dtype,
                              quant=self.quant, name="cv2")(
-                Q.qt_concat(pools), train)
+                qt_maybe_cat(pools), train)
         pools = [y] + [max_pool_same(y, k) for k in self.k]
         # implicit concat: cv2 is a 1x1 over the channel-concat; feeding the
         # list avoids this libtpu's pad+maximum concat decomposition
@@ -510,7 +536,7 @@ class SPPF(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c_ = (x.data if isinstance(x, QTensor) else x).shape[-1] // 2
+        c_ = _sum_channels(x) // 2
         y = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=self.quant,
                       name="cv1")(x, train)
         if isinstance(y, QTensor):
@@ -519,7 +545,7 @@ class SPPF(nn.Module):
             y3 = QTensor(max_pool_same(y2.data, self.k), y.scale)
             return ConvBnAct(self.c2, 1, 1, dtype=self.dtype,
                              quant=self.quant, name="cv2")(
-                Q.qt_concat([y, y1, y2, y3]), train)
+                qt_maybe_cat([y, y1, y2, y3]), train)
         y1 = max_pool_same(y, self.k)
         y2 = max_pool_same(y1, self.k)
         y3 = max_pool_same(y2, self.k)
@@ -786,16 +812,36 @@ class FFM(nn.Module):
     is_cat: bool = True
     k: int = 1
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # is_cat means x is a list; maybe_cat keeps it implicit (split-conv)
         # only when every part is MXU-wide (PERF.md)
+        q = self.quant
         if isinstance(x, (list, tuple)):
-            x = maybe_cat(list(x))
-        feat = ConvBnAct(self.c2, self.k, 1, dtype=self.dtype, name="convblk")(
-            x, train
-        )
+            x = (qt_maybe_cat(list(x)) if isinstance(x[0], QTensor)
+                 else maybe_cat(list(x)))
+        feat = ConvBnAct(self.c2, self.k, 1, dtype=self.dtype, quant=q,
+                         name="convblk")(x, train)
+        if isinstance(feat, QTensor) and not self.is_initializing():
+            # int8: attention stats read feat as int8; the (B,1,1,C) gate
+            # then folds into one fused multiply+requant pass
+            att = (jnp.mean(feat.data.astype(jnp.float32), axis=(1, 2),
+                            keepdims=True) * feat.scale).astype(self.dtype)
+            att = Conv2d(self.c2 // self.reduction, 1, use_bias=False,
+                         dtype=self.dtype, name="att_fc1")(att)
+            att = silu(att)
+            att = Conv2d(self.c2, 1, use_bias=False, dtype=self.dtype,
+                         name="att_fc2")(att)
+            gate = (jax.nn.sigmoid(att) + 1.0).astype(jnp.float32)
+            y = feat.data.astype(jnp.float32) * (feat.scale * gate)
+            s_out = q.scale_for(Q.site_key(self, "gate"))
+            return QTensor(
+                jnp.clip(jnp.round(y / s_out), -Q.QMAX, Q.QMAX).astype(
+                    jnp.int8), s_out)
+        if isinstance(feat, QTensor):  # initializing
+            feat = Q.dequantize(feat, self.dtype)
         att = jnp.mean(feat.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(
             feat.dtype
         )
@@ -804,7 +850,13 @@ class FFM(nn.Module):
         att = silu(att)
         att = Conv2d(self.c2, 1, use_bias=False, dtype=self.dtype, name="att_fc2")(att)
         att = jax.nn.sigmoid(att)
-        return feat * att + feat
+        out = feat * att + feat
+        if q is not None:
+            if q.is_calib:
+                Q.sow_absmax(self, "gate", out)
+            elif q.is_int8:  # initializing
+                return Q.quantize(out, q.scale_for(Q.site_key(self, "gate")))
+        return out
 
 
 class DilatedConvBnSiLU(nn.Module):
@@ -814,13 +866,34 @@ class DilatedConvBnSiLU(nn.Module):
     c2: int
     d: int
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        q = self.quant
+        if (q is not None and q.is_int8 and not train
+                and not self.is_initializing()):
+            # same child names ("conv"/"bn") as ConvBnAct => same int8 path
+            params = self.variables["params"]
+            bn = Q.bn_fold_constants(params["bn"]["bn"],
+                                     self.variables["batch_stats"]["bn"]["bn"])
+            return Q.int8_conv_block(
+                x, params["conv"]["conv2d"]["kernel"],
+                padding=((self.d, self.d), (self.d, self.d)),
+                dilation=self.d, bn=bn, act=silu,
+                out_scale=q.scale_for(Q.site_key(self, "out")))
+        if q is not None and q.is_int8 and isinstance(x, QTensor):
+            x = Q.dequantize(x, self.dtype)  # initializing
         y = Conv2d(self.c2, 3, 1, padding=self.d, dilation=self.d, dtype=self.dtype,
                    name="conv")(x)
         y = BatchNorm(self.dtype, name="bn")(y, train)
-        return silu(y)
+        y = silu(y)
+        if q is not None:
+            if q.is_calib:
+                Q.sow_absmax(self, "out", y)
+            elif q.is_int8:  # initializing
+                return Q.quantize(y, q.scale_for(Q.site_key(self, "out")))
+        return y
 
 
 class GlobalBranch(nn.Module):
@@ -829,11 +902,21 @@ class GlobalBranch(nn.Module):
 
     c2: int
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, out_hw, train: bool = False):
+        if isinstance(x, QTensor):
+            g = Q.qt_global_avg_pool(x, 1)
+            g = ConvBnAct(self.c2, 1, dtype=self.dtype, quant=self.quant,
+                          name="conv")(g, train)
+            # 1x1 source: nearest resize == broadcast, scale-preserving
+            n, _, _, c = g.data.shape
+            data = jnp.broadcast_to(g.data, (n, out_hw[0], out_hw[1], c))
+            return QTensor(data, g.scale)
         g = adaptive_avg_pool(x, 1)
-        g = ConvBnAct(self.c2, 1, dtype=self.dtype, name="conv")(g, train)
+        g = ConvBnAct(self.c2, 1, dtype=self.dtype, quant=self.quant,
+                      name="conv")(g, train)
         return resize_nearest(g, out_hw)
 
 
@@ -901,23 +984,32 @@ class RFB2(nn.Module):
     d: Tuple[int, int] = (2, 3)
     has_global: bool = False
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inter = _sum_channels(x) // self.map_reduce
-        x3 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch3")(x, train)
-        x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch0_a")(x, train)
-        x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, name="branch0_b")(x0, train)
-        x1 = DilatedConvBnSiLU(inter, self.d[0], self.dtype, name="branch1")(x0, train)
-        x2 = DilatedConvBnSiLU(inter, self.d[1], self.dtype, name="branch2")(x1, train)
+        q = self.quant
+        x3 = ConvBnAct(inter, 1, 1, dtype=self.dtype, quant=q,
+                       name="branch3")(x, train)
+        x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, quant=q,
+                       name="branch0_a")(x, train)
+        x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, quant=q,
+                       name="branch0_b")(x0, train)
+        x1 = DilatedConvBnSiLU(inter, self.d[0], self.dtype, quant=q,
+                               name="branch1")(x0, train)
+        x2 = DilatedConvBnSiLU(inter, self.d[1], self.dtype, quant=q,
+                               name="branch2")(x1, train)
         feats = [x0, x1, x2, x3]
         if self.has_global:
             feats.append(
-                GlobalBranch(inter, self.dtype, name="branch4")(x2, _spatial(x), train)
+                GlobalBranch(inter, self.dtype, quant=q, name="branch4")(
+                    x2, _spatial(x), train)
             )
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
-            maybe_cat(feats), train
-        )
+        cat = (qt_maybe_cat(feats) if isinstance(feats[0], QTensor)
+               else maybe_cat(feats))
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, quant=q,
+                         name="conv_linear")(cat, train)
 
 
 class RFB1(nn.Module):
@@ -961,24 +1053,31 @@ class ACSP(nn.Module):
     d: Tuple[int, int] = (2, 3)
     has_global: bool = False
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         inter = _sum_channels(x) // self.map_reduce
-        x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, name="branch0_a")(x, train)
-        x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, name="branch0_b")(x0, train)
-        x1 = DilatedConvBnSiLU(inter, self.d[0], self.dtype, name="branch1")(x0, train)
-        x2 = DilatedConvBnSiLU(inter, self.d[1], self.dtype, name="branch2")(x1, train)
+        q = self.quant
+        x0 = ConvBnAct(inter, 1, 1, dtype=self.dtype, quant=q,
+                       name="branch0_a")(x, train)
+        x0 = ConvBnAct(inter, 3, 1, dtype=self.dtype, quant=q,
+                       name="branch0_b")(x0, train)
+        x1 = DilatedConvBnSiLU(inter, self.d[0], self.dtype, quant=q,
+                               name="branch1")(x0, train)
+        x2 = DilatedConvBnSiLU(inter, self.d[1], self.dtype, quant=q,
+                               name="branch2")(x1, train)
         feats = [x0, x1, x2]
         if self.has_global:
             feats.append(
-                GlobalBranch(inter, self.dtype, name="branch_global")(
+                GlobalBranch(inter, self.dtype, quant=q, name="branch_global")(
                     x2, _spatial(x), train
                 )
             )
-        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="conv_linear")(
-            maybe_cat(feats), train
-        )
+        cat = (qt_maybe_cat(feats) if isinstance(feats[0], QTensor)
+               else maybe_cat(feats))
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, quant=q,
+                         name="conv_linear")(cat, train)
 
 
 class PyramidPooling(nn.Module):
@@ -990,15 +1089,31 @@ class PyramidPooling(nn.Module):
     short_cut: bool = False
     as_list: bool = False  # True: return branch list (implicit concat)
     dtype: Dtype = jnp.float32
+    quant: Optional[QuantCfg] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if isinstance(x, QTensor):
+            # int8: pool at the input scale (convex), conv the tiny maps in
+            # int8, upsample at the conv's output scale — the big upsampled
+            # branch tensors are written as int8
+            h, w = x.data.shape[1:3]
+            c_out = x.data.shape[-1] // 4
+            feats = [x] if self.short_cut else []
+            for i, k in enumerate(self.k):
+                y = Q.qt_global_avg_pool(x, k)
+                y = ConvBnAct(c_out, 1, dtype=self.dtype, quant=self.quant,
+                              name=f"conv{i+1}")(y, train)
+                y = Q.qt_resize_bilinear(y, (h, w), align_corners=True)
+                feats.append(y)
+            return feats if self.as_list else Q.qt_concat(feats)
         h, w = x.shape[1:3]
         c_out = x.shape[-1] // 4
         feats = [x] if self.short_cut else []
         for i, k in enumerate(self.k):
             y = adaptive_avg_pool(x, k)
-            y = ConvBnAct(c_out, 1, dtype=self.dtype, name=f"conv{i+1}")(y, train)
+            y = ConvBnAct(c_out, 1, dtype=self.dtype, quant=self.quant,
+                          name=f"conv{i+1}")(y, train)
             y = resize_bilinear(y, (h, w), align_corners=True)
             feats.append(y)
         if self.as_list:

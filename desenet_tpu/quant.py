@@ -170,56 +170,68 @@ def quantize_kernel(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return qw, s_w
 
 
-def int8_conv(
-    qx: QTensor,
+def int8_conv_block(
+    x: Union[QTensor, Sequence[QTensor]],
     kernel_f32: jax.Array,
     *,
     stride: int = 1,
     padding=((0, 0), (0, 0)),
     dilation: int = 1,
     groups: int = 1,
-) -> Tuple[jax.Array, jax.Array]:
-    """int8 x int8 -> int32 conv; returns (y_i32, per-channel fp32 scale)
-    where real conv output = y_i32 * scale[c]."""
-    qw, s_w = quantize_kernel(kernel_f32)
-    y = jax.lax.conv_general_dilated(
-        qx.data, qw,
-        (stride, stride), padding,
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.int32,
-    )
-    return y, s_w * qx.scale
-
-
-def epilogue_requant(
-    y_i32: jax.Array,
-    ch_scale: jax.Array,
-    *,
     bn: Optional[Tuple[jax.Array, jax.Array]] = None,  # (scale[c], bias[c])
     bias: Optional[jax.Array] = None,
     act=None,  # callable on fp32, or None
-    out_scale: float,
-) -> QTensor:
-    """Fused conv epilogue: dequant -> (BN affine | bias) -> act -> requant.
+    residual: Optional[QTensor] = None,
+    out_scale: Optional[float],  # None: return fp (out_dtype) instead of int8
+    out_dtype=jnp.float32,
+) -> Union[QTensor, jax.Array]:
+    """Fused int8 conv + dequant -> (BN affine | bias) -> act (-> +residual)
+    -> requant.
 
-    All per-channel constants are fp32 vectors; XLA fuses the whole chain
+    ``x`` may be a LIST of QTensors: an implicit channel-concat, convolved
+    by slicing the quantized kernel per part and accumulating the dequantized
+    partials in fp32 (the int8 analog of layers._SplitConv). This skips both
+    the concat materialization AND the per-part requant a real int8 concat
+    would need — each part is read once, as int8.
+
+    ``residual`` folds a shortcut add (reference Bottleneck, common.py:111)
+    into the same epilogue, so the residual is read as int8 and no separate
+    add+requant pass exists.
+
+    All per-channel constants are fp32 vectors; XLA fuses the epilogue chain
     into the conv output so only int8 reaches HBM.
     """
-    g = ch_scale
-    b = None
+    parts = list(x) if isinstance(x, (list, tuple)) else [x]
+    qw, s_w = quantize_kernel(kernel_f32)
+    g = s_w * bn[0] if bn is not None else s_w
+    acc = None
+    off = 0
+    for p in parts:
+        c = p.data.shape[-1]
+        w = qw if len(parts) == 1 else jax.lax.slice_in_dim(
+            qw, off, off + c, axis=2)
+        off += c
+        y = jax.lax.conv_general_dilated(
+            p.data, w,
+            (stride, stride), padding,
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (g * p.scale)
+        acc = y if acc is None else acc + y
     if bn is not None:
-        g = g * bn[0]
-        b = bn[1]
-    y = y_i32.astype(jnp.float32) * g
-    if b is not None:
-        y = y + b
+        acc = acc + bn[1]
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        acc = acc + bias.astype(jnp.float32)
     if act is not None:
-        y = act(y)
-    q = jnp.clip(jnp.round(y / out_scale), -QMAX, QMAX)
+        acc = act(acc)
+    if residual is not None:
+        acc = acc + residual.data.astype(jnp.float32) * residual.scale
+    if out_scale is None:
+        return acc.astype(out_dtype)
+    q = jnp.clip(jnp.round(acc / out_scale), -QMAX, QMAX)
     return QTensor(q.astype(jnp.int8), out_scale)
 
 
@@ -271,6 +283,29 @@ def calibrate_scales(model, variables, batches) -> Tuple[Tuple[str, float], ...]
         for k, v in flatten_qcal(jax.device_get(run(variables, x))).items():
             acc[k] = max(acc.get(k, 0.0), v)
     return tuple(sorted(acc.items()))
+
+
+def qt_resize_bilinear(x: QTensor, out_hw, align_corners: bool) -> QTensor:
+    """Bilinear resize of a QTensor at the SAME scale (interpolation is a
+    convex combination, so |out| <= max|in| — no clipping possible beyond
+    rounding). Reads int8, computes the separable contraction in fp32,
+    writes int8."""
+    from desenet_tpu.ops.resize import resize_bilinear
+
+    y = resize_bilinear(x.data.astype(jnp.float32), out_hw,
+                        align_corners=align_corners)
+    return QTensor(
+        jnp.clip(jnp.round(y), -QMAX, QMAX).astype(jnp.int8), x.scale)
+
+
+def qt_global_avg_pool(x: QTensor, out_k=1) -> QTensor:
+    """Adaptive average pool of a QTensor at the SAME scale (averaging is
+    convex). Reads int8, reduces in fp32, writes a tiny int8 map."""
+    from desenet_tpu.ops.resize import adaptive_avg_pool
+
+    y = adaptive_avg_pool(x.data.astype(jnp.float32), out_k)
+    return QTensor(
+        jnp.clip(jnp.round(y), -QMAX, QMAX).astype(jnp.int8), x.scale)
 
 
 def quantize_for_inference(cfg, variables, calib_batches, **build_kw):
