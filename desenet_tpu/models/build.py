@@ -308,6 +308,13 @@ class DeSeNet(nn.Module):
     })
 
     def setup(self):
+        # layers feeding Detect stay fp: their outputs are the box/obj/cls
+        # features — quantizing them costs detection accuracy dearly at the
+        # val conf=0.001 tail for near-zero speed gain (they are the last,
+        # cheapest convs of the neck)
+        det_srcs = (set(self.spec.layers[self.spec.det_layer].f)
+                    if self.spec.det_layer >= 0 else set())
+        self._quant_skip = det_srcs
         mods = {}
         for ls in self.spec.layers:
             if ls.name == "Detect":
@@ -319,7 +326,8 @@ class DeSeNet(nn.Module):
                     name=f"l{ls.i}",
                 )
             else:
-                q = self.quant if ls.name in self._QUANT_AWARE else None
+                q = (self.quant if ls.name in self._QUANT_AWARE
+                     and ls.i not in det_srcs else None)
                 if ls.n > 1:
                     # outer repeats mirror torch's nn.Sequential wrapping:
                     # torch 'model.i.j.*' <-> flax 'l{i}s{j}/*'
@@ -353,7 +361,7 @@ class DeSeNet(nn.Module):
             else:
                 inp = [prev if j == ls.i - 1 else cache[j] for j in ls.f]
 
-            if ls.name not in self._QUANT_AWARE:
+            if ls.name not in self._QUANT_AWARE or ls.i in self._quant_skip:
                 # heads and non-quantized blocks consume fp activations
                 if isinstance(inp, quant_mod.QTensor):
                     inp = quant_mod.dequantize(inp, self.dtype)

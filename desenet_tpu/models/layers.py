@@ -224,6 +224,23 @@ def _sum_channels(x) -> int:
 SPLIT_CONV_MIN_PART = int(os.environ.get("DESENET_SPLIT_MIN_PART", "128"))
 
 
+def dus_concat(xs, axis=-1):
+    """Channel concat via dynamic_update_slice composition. NOT used on the
+    production path: an isolated scan-loop probe showed concat 27.3 ms vs DUS
+    1.58 ms at an early-C3 shape, but substituting DUS model-wide REGRESSED
+    the b128 bench 47.7 -> 54.9 ms (the probe's concat was an un-hoisted loop
+    invariant; in the real graph concats fuse). Kept for targeted use."""
+    assert axis in (-1, xs[0].ndim - 1), "channel concat only"
+    c = sum(v.shape[-1] for v in xs)
+    buf = jnp.empty((*xs[0].shape[:-1], c), xs[0].dtype)
+    off = 0
+    for v in xs:
+        idx = (0,) * (v.ndim - 1) + (off,)
+        buf = jax.lax.dynamic_update_slice(buf, v.astype(buf.dtype), idx)
+        off += v.shape[-1]
+    return buf
+
+
 def maybe_cat(xs, axis=-1):
     """Return the list (implicit concat) when every part is MXU-wide enough,
     else materialize the concat."""
@@ -295,6 +312,13 @@ class ConvBnAct(nn.Module):
         requant."""
         if isinstance(x, (list, tuple)) and self.g != 1:
             x = Q.qt_concat(x)  # grouped conv can't slice the kernel freely
+        # fp input at a quant boundary (e.g. after an fp-kept det-src layer):
+        # quantize at the calibrated input-site scale
+        if isinstance(x, (list, tuple)):
+            x = [v if isinstance(v, QTensor) else Q.quantize(
+                v, self.quant.scale_for(Q.site_key(self, "in"))) for v in x]
+        elif not isinstance(x, QTensor):
+            x = Q.quantize(x, self.quant.scale_for(Q.site_key(self, "in")))
         p = autopad(self.k, self.p)
         pad = ((p, p), (p, p)) if isinstance(p, int) else tuple(
             (v, v) for v in p)
@@ -341,6 +365,14 @@ class ConvBnAct(nn.Module):
                      if isinstance(residual, QTensor) else residual)
         if q is not None:
             if q.is_calib:
+                xs = x if isinstance(x, (list, tuple)) else [x]
+                # input-site range (absmax): used only when this conv sits at
+                # a quant boundary and must quantize an fp input itself
+                self.sow("qcal", "in",
+                         jnp.stack([jnp.max(jnp.abs(v.astype(jnp.float32)))
+                                    for v in xs]).max(),
+                         init_fn=lambda: jnp.asarray(0.0, jnp.float32),
+                         reduce_fn=jnp.maximum)
                 Q.sow_absmax(self, "out", y)
             elif q.is_int8:  # initializing
                 return Q.quantize(y, q.scale_for(Q.site_key(self, "out")))

@@ -89,6 +89,9 @@ class QuantCfg:
 
     mode: str = "calib"
     scales: Tuple[Tuple[str, float], ...] = ()
+    # calibration range statistic: 100.0 = absmax; else |y| percentile
+    # (99.9 clips rare outliers => finer steps for the bulk — standard PTQ)
+    calib_pct: float = 99.9
 
     def scale_for(self, key: str) -> float:
         d = _scales_dict(self.scales)
@@ -328,10 +331,13 @@ def quantize_for_inference(cfg, variables, calib_batches, **build_kw):
 
 
 def sow_absmax(mdl, site: str, y: jax.Array) -> None:
-    """Record the running absmax of y at this module's ``site`` (calib mode)."""
+    """Record the running range statistic of |y| at this module's ``site``
+    (calib mode): absmax, or the configured percentile (QuantCfg.calib_pct)."""
+    a = jnp.abs(y.astype(jnp.float32))
+    pct = mdl.quant.calib_pct if mdl.quant is not None else 100.0
+    stat = jnp.max(a) if pct >= 100.0 else jnp.percentile(a, pct)
     mdl.sow(
-        "qcal", site,
-        jnp.max(jnp.abs(y.astype(jnp.float32))),
+        "qcal", site, stat,
         init_fn=lambda: jnp.asarray(0.0, jnp.float32),
         reduce_fn=jnp.maximum,
     )
