@@ -298,6 +298,8 @@ class DeSeNet(nn.Module):
     # checkpoints convert exactly in both directions)
     seg_upsample: bool = True  # False: seg head returns 1/8-res logits for
     # the fused Pallas upsample+argmax tail (ops/seg_pallas.py)
+    decode_cat: bool = True  # False: Detect returns per-scale decode list
+    # for the scale-local NMS prefilter (ops/nms.py)
     quant: Any = None  # QuantCfg for the int8 W8A8 inference path (quant.py)
 
     # modules that natively carry QTensors through the int8 path; others
@@ -323,6 +325,7 @@ class DeSeNet(nn.Module):
                     anchors=ls.args[1],
                     strides=self.spec.det_strides,
                     dtype=self.dtype,
+                    decode_cat=self.decode_cat,
                     name=f"l{ls.i}",
                 )
             else:
@@ -432,12 +435,13 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 se_nc: Optional[int] = None, anchors: Optional[Sequence] = None,
                 fuse_focus: bool = True, remat: bool = False,
                 fused_csp: bool = True, seg_upsample: bool = True,
-                dtype=jnp.float32, quant=None) -> Tuple[DeSeNet, ModelSpec]:
+                dtype=jnp.float32, quant=None,
+                decode_cat: bool = True) -> Tuple[DeSeNet, ModelSpec]:
     spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors,
                         fuse_focus=fuse_focus)
     return DeSeNet(spec=spec, dtype=dtype, remat=remat,
                    fused_csp=fused_csp, seg_upsample=seg_upsample,
-                   quant=quant), spec
+                   decode_cat=decode_cat, quant=quant), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):

@@ -71,6 +71,9 @@ class Detect(nn.Module):
     anchors: Tuple[Tuple[float, ...], ...]  # (nl, na*2) pixel anchors
     strides: Tuple[int, ...] = (8, 16, 32)
     dtype: Dtype = jnp.float32
+    decode_cat: bool = True  # False: inference returns the PER-SCALE decoded
+    # list instead of the (B, sum A_s, no) concat — NMS then prefilters
+    # scale-locally and the big concat never materializes (ops/nms.py)
 
     @property
     def nl(self):
@@ -130,6 +133,8 @@ class Detect(nn.Module):
 
         if train:
             return feats
+        if not self.decode_cat:
+            return decoded, feats
         return jnp.concatenate(decoded, axis=1), feats
 
 

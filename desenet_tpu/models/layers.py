@@ -525,7 +525,9 @@ class C3(nn.Module):
         if isinstance(y1, QTensor):
             y = qt_maybe_cat([y1, y2])  # implicit concat if MXU-wide
         else:
-            y = jnp.concatenate([y1, y2], axis=-1)
+            # cv3 is a 1x1: the concat is implicit (split-conv) when the
+            # halves pass the MXU-width gate, else materialized
+            y = maybe_cat([y1, y2])
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, quant=q,
                          name="cv3")(y, train)
 

@@ -117,6 +117,23 @@ def _prep_candidates(pred, conf_thres, pre_topk, multi_label, nc):
     return top_boxes, top_scores, cls_idx
 
 
+def _merge_scale_candidates(per_scale, pre_topk):
+    """Merge per-scale candidate sets into the global top-pre_topk.
+
+    per_scale: list of (boxes (B,k,4), scores (B,k), cls (B,k)). Because each
+    scale contributed its own exact top-min(pre_topk, A_s) set, the union is
+    a superset of the global top-pre_topk — the final top_k is EXACT while
+    never materializing the concatenated (B, sum_s A_s, 5+nc) decode tensor
+    (the reference concatenates all scales before NMS, yolo.py:277)."""
+    boxes = jnp.concatenate([p[0] for p in per_scale], axis=1)
+    scores = jnp.concatenate([p[1] for p in per_scale], axis=1)
+    cls = jnp.concatenate([p[2] for p in per_scale], axis=1)
+    k = min(pre_topk, scores.shape[1])
+    top_scores, idx = jax.lax.approx_max_k(scores, k, recall_target=1.0)
+    take = jax.vmap(lambda a, i: a[i])
+    return take(boxes, idx), top_scores, take(cls, idx)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -142,20 +159,31 @@ def non_max_suppression(
     """Batched fixed-shape NMS.
 
     prediction: (B, A, 5+nc) decoded predictions in pixel xywh + obj + cls
-    (the Detect head's flattened inference output, yolo.py:275-277).
+    (the Detect head's flattened inference output, yolo.py:275-277), OR a
+    LIST of per-scale (B, A_s, 5+nc) arrays — then candidate selection runs
+    scale-locally and only tiny top-k sets are merged (exact same candidate
+    set; skips the big decode concat the reference materializes).
     """
-    nc = prediction.shape[2] - 5
-    pre_topk = min(pre_topk, prediction.shape[1] * (nc if multi_label else 1))
+    preds = prediction if isinstance(prediction, (list, tuple)) else [prediction]
+    nc = preds[0].shape[2] - 5
+    total = sum(p.shape[1] for p in preds)
+    pre_topk = min(pre_topk, total * (nc if multi_label else 1))
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    prep = functools.partial(
-        _prep_candidates, conf_thres=conf_thres, pre_topk=pre_topk,
-        multi_label=multi_label, nc=nc,
-    )
-    top_boxes, top_scores, cls_idx = jax.vmap(prep)(
-        prediction.astype(jnp.float32)
-    )
+    per_scale = []
+    for p in preds:
+        k_s = min(pre_topk, p.shape[1] * (nc if multi_label else 1))
+        prep = functools.partial(
+            _prep_candidates, conf_thres=conf_thres, pre_topk=k_s,
+            multi_label=multi_label, nc=nc,
+        )
+        per_scale.append(jax.vmap(prep)(p.astype(jnp.float32)))
+    if len(per_scale) == 1:
+        top_boxes, top_scores, cls_idx = per_scale[0]
+    else:
+        top_boxes, top_scores, cls_idx = _merge_scale_candidates(
+            per_scale, pre_topk)
 
     offset = 0.0 if agnostic else MAX_WH
     nms_boxes = top_boxes + cls_idx[..., None] * offset

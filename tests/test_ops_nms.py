@@ -184,3 +184,35 @@ def test_approx_max_k_prefilter_set_equals_topk():
         for b in range(3):
             assert set(np.asarray(i1[b]).tolist()) == set(
                 np.asarray(i2[b]).tolist())
+
+
+def test_scale_local_prefilter_matches_concat():
+    """NMS fed the per-scale decode LIST must produce the identical keep-set
+    as the concatenated input: per-scale exact top-k unions are supersets of
+    the global top-k, and the merge re-selects exactly (ops/nms.py
+    _merge_scale_candidates). Both multi_label regimes."""
+    rng = np.random.default_rng(7)
+    B, nc = 3, 6
+    sizes = (1920, 480, 120)
+    scales = []
+    for a in sizes:
+        xy = rng.uniform(40, 600, (B, a, 2))
+        wh = rng.uniform(8, 120, (B, a, 2))
+        obj = rng.uniform(0, 1, (B, a, 1)) ** 2
+        cls = rng.uniform(0, 1, (B, a, nc))
+        scales.append(np.concatenate([xy, wh, obj, cls], -1).astype(np.float32))
+    cat = np.concatenate(scales, axis=1)
+
+    for ml, conf in ((False, 0.25), (True, 0.001)):
+        a = non_max_suppression(jnp.asarray(cat), conf_thres=conf,
+                                iou_thres=0.45, max_det=100, pre_topk=512,
+                                multi_label=ml, backend="xla")
+        b = non_max_suppression([jnp.asarray(s) for s in scales],
+                                conf_thres=conf, iou_thres=0.45, max_det=100,
+                                pre_topk=512, multi_label=ml, backend="xla")
+        np.testing.assert_array_equal(np.asarray(a.num), np.asarray(b.num))
+        for i in range(B):
+            n = int(a.num[i])
+            ka = {tuple(np.round(v, 3)) for v in np.asarray(a.boxes[i][:n])}
+            kb = {tuple(np.round(v, 3)) for v in np.asarray(b.boxes[i][:n])}
+            assert ka == kb
