@@ -46,6 +46,28 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def pad_batch_for_mesh(batch, mesh: Mesh):
+    """Pad a (possibly uneven) final batch up to a multiple of the mesh's
+    data-axis size by repeating the last element; returns (padded_batch,
+    n_valid). The reference sidesteps this with drop_last on train loaders
+    (mixed_datasets.py:106-117) and single-device val; here multi-device
+    eval over an arbitrary dataset length stays static-shaped — consumers
+    mask reductions with n_valid.
+    """
+    n_dev = mesh.devices.size
+    leaves = jax.tree.leaves(batch)
+    n = leaves[0].shape[0]
+    pad = (-n) % n_dev
+    if pad == 0:
+        return batch, n
+
+    def _pad(x):
+        reps = np.repeat(np.asarray(x)[-1:], pad, axis=0)
+        return np.concatenate([np.asarray(x), reps], axis=0)
+
+    return jax.tree.map(_pad, batch), n
+
+
 def replicate_tree(tree, mesh: Mesh):
     r = replicate(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, r), tree)

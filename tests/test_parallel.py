@@ -175,3 +175,40 @@ def test_ema_eval_forward_matches_under_sharding():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(s1)[:3], np.asarray(s8)[:3],
                                atol=2e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_uneven_final_batch_pad_and_eval():
+    """An uneven final batch (n=5 on an 8-device mesh) pads to the mesh size
+    and a sharded eval forward runs; the valid rows match the unsharded
+    forward exactly (pad rows are repeats, reductions masked by n_valid)."""
+    from desenet_tpu.parallel.mesh import pad_batch_for_mesh
+
+    model, variables, opt, step = make_setup()
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng, b=5)
+    mesh = make_mesh(8)
+    padded, n_valid = pad_batch_for_mesh(batch, mesh)
+    assert n_valid == 5
+    assert all(v.shape[0] == 8 for v in jax.tree.leaves(padded))
+    # pad rows are copies of the last valid row
+    np.testing.assert_array_equal(padded["image"][5], batch["image"][4])
+
+    sharded = shard_batch(padded, mesh)
+    var_r = replicate_tree(variables, mesh)
+
+    @jax.jit
+    def fwd(v, img):
+        (dec, feats), seg = model.apply(v, img, train=False)
+        return dec, seg
+
+    dec_s, seg_s = fwd(var_r, sharded["image"])
+    dec_1, seg_1 = fwd(variables, jnp.asarray(batch["image"]))
+    np.testing.assert_allclose(np.asarray(dec_s)[:n_valid],
+                               np.asarray(dec_1), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(seg_s)[:n_valid],
+                               np.asarray(seg_1), rtol=2e-5, atol=2e-5)
+
+    # already-even batches pass through untouched
+    same, n = pad_batch_for_mesh(make_batch(rng, b=8), mesh)
+    assert n == 8 and same["image"].shape[0] == 8
