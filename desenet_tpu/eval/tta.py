@@ -54,9 +54,28 @@ def forward_augment(model, variables, x: jax.Array) -> jax.Array:
     """Augmented inference: returns concatenated decoded predictions
     (B, sum_A, 5+nc) ready for NMS. Jit-compatible (static shapes per
     variant)."""
+    return forward_augment_joint(model, variables, x, with_seg=False)[0]
+
+
+def forward_augment_joint(model, variables, x: jax.Array,
+                          with_seg: bool = True):
+    """Joint TTA: detection predictions concatenated across the variants
+    (exactly ``forward_augment``) PLUS segmentation logits averaged over
+    them (inverse-flipped, unpadded, resized back to the input grid).
+
+    The reference only augments detection (yolo.py:331-342 discards the seg
+    output of each TTA variant); averaging the seg logits is a free quality
+    extension since every variant's forward already computes them. Requires
+    a full-resolution seg head (``seg_upsample=True`` builds, the
+    validator's configuration) — 1/8-res fused-tail builds (detect CLI)
+    keep detection-only TTA.
+
+    Returns ``(dec, seg_logits)``; ``seg_logits`` is None when
+    ``with_seg=False``.
+    """
     img_hw = x.shape[1:3]
     gs = max(model.spec.det_strides)
-    outs = []
+    outs, segs = [], []
     for scale, flip in TTA_VARIANTS:
         xi = x
         if flip == "lr":
@@ -64,6 +83,28 @@ def forward_augment(model, variables, x: jax.Array) -> jax.Array:
         elif flip == "ud":
             xi = xi[:, ::-1, :, :]
         xi = scale_img(xi, scale, gs)
-        (dec, _), _ = model.apply(variables, xi, train=False)
+        (dec, _), seg = model.apply(variables, xi, train=False)
         outs.append(descale_pred(dec, flip, scale, img_hw))
-    return jnp.concatenate(outs, axis=1)
+        if not with_seg:
+            continue
+        if seg.shape[1:3] != xi.shape[1:3]:
+            raise ValueError(
+                "seg TTA needs full-resolution seg logits; build the model "
+                f"with seg_upsample=True (got seg {seg.shape[1:3]} for "
+                f"input {xi.shape[1:3]})")
+        if scale != 1.0:
+            hs, ws = int(img_hw[0] * scale), int(img_hw[1] * scale)
+            # drop the stride padding, then resize the valid logits back to
+            # the base grid (align_corners=False — the val resize
+            # convention, val.py:47)
+            seg = resize_bilinear(seg[:, :hs, :ws, :], img_hw,
+                                  align_corners=False)
+        if flip == "lr":
+            seg = seg[:, :, ::-1, :]
+        elif flip == "ud":
+            seg = seg[:, ::-1, :, :]
+        segs.append(seg.astype(jnp.float32))
+    dec = jnp.concatenate(outs, axis=1)
+    if not with_seg:
+        return dec, None
+    return dec, jnp.mean(jnp.stack(segs), axis=0)

@@ -107,11 +107,14 @@ class Validator:
         @jax.jit
         def step(variables, img_u8):
             x = img_u8.astype(model.dtype) / 255.0
-            (dec, feats), seg = model.apply(variables, x, train=False)
-            if augment:  # TTA: scales+flips ensembled before NMS
-                from desenet_tpu.eval.tta import forward_augment
+            if augment:
+                # TTA: det scales+flips ensembled before NMS; seg logits
+                # averaged over the same variants (eval/tta.py)
+                from desenet_tpu.eval.tta import forward_augment_joint
 
-                dec = forward_augment(model, variables, x)
+                dec, seg = forward_augment_joint(model, variables, x)
+            else:
+                (dec, feats), seg = model.apply(variables, x, train=False)
             nms = non_max_suppression(
                 dec,
                 conf_thres=self.conf_thres,

@@ -57,8 +57,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.decode_jpeg_scaled.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.decode_jpeg_scaled.restype = ctypes.c_int
+        lib.has_jpeg.restype = ctypes.c_int
         lib.fastops_version.restype = ctypes.c_int
-        assert lib.fastops_version() == 2
+        assert lib.fastops_version() == 3
         _LIB = lib
         LOGGER.info("fastops native library loaded")
     except Exception as e:
@@ -118,3 +126,60 @@ def rasterize_polygons_native(
     if n_done != len(polys):  # degenerate polygon: preserve PIL ordering
         return None
     return mask
+
+
+def jpeg_available() -> bool:
+    lib = _load()
+    return lib is not None and bool(lib.has_jpeg())
+
+
+def decode_jpeg_scaled(
+    data: bytes, target_long: int
+) -> Optional[Tuple[np.ndarray, Tuple[int, int]]]:
+    """Scaled JPEG decode: RGB uint8 HWC decoded at the largest libjpeg M/8
+    fraction whose long side stays >= target_long, plus the full-resolution
+    (h0, w0). DCT-domain scaling makes this ~4x faster than full decode +
+    LANCZOS on 2x-oversized sources (the reference's PIL path,
+    mixed_datasets.py:624-640). Returns None when the native library lacks
+    libjpeg or the stream is not a clean JPEG — callers fall back to PIL."""
+    lib = _load()
+    if lib is None or not lib.has_jpeg():
+        return None
+    if len(data) < 3 or data[:2] != b"\xff\xd8":
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    # size the output for the worst case (scale 8/8 = full-res RGB) by
+    # reading the SOF dimensions from the marker stream
+    import struct as _struct
+
+    h0 = w0 = None
+    i, n = 2, len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = _struct.unpack(">H", data[i + 2:i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h0, w0 = _struct.unpack(">HH", data[i + 5:i + 9])
+            break
+        i += 2 + seg_len
+    if not h0 or not w0:
+        return None
+    out = np.empty(int(h0) * int(w0) * 3, np.uint8)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    fw = ctypes.c_int32()
+    fh = ctypes.c_int32()
+    ok = lib.decode_jpeg_scaled(
+        buf.ctypes.data_as(ctypes.c_void_p), len(data), int(target_long),
+        out.ctypes.data_as(ctypes.c_void_p), out.size,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(fw), ctypes.byref(fh),
+    )
+    if not ok:
+        return None
+    arr = out[: h.value * w.value * 3].reshape(h.value, w.value, 3)
+    return arr, (fh.value, fw.value)

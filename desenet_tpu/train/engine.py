@@ -96,6 +96,8 @@ class TrainConfig:
     remat: bool = False  # rematerialize activations (bigger batches)
     wandb: bool = False  # W&B sink (offline backend when pkg absent)
     upload_dataset: bool = False  # log the dataset as a W&B artifact
+    fast_decode: bool = False  # scaled-JPEG train decode (native libjpeg;
+    # ~4x PIL on oversized sources, not pixel-equal — val keeps PIL)
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -193,7 +195,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         data["train"], img_size=imgsz, batch_size=cfg.batch_size, augment=True,
         hyp=hyp, stride=max(spec.det_strides), single_cls=cfg.single_cls,
         workers=cfg.workers, max_targets=cfg.max_targets, seed=cfg.seed,
-        stage=_stage,
+        stage=_stage, fast_decode=cfg.fast_decode,
     )
     val_loader, val_ds = create_mixed_dataloader(
         data["val"], img_size=imgsz, batch_size=cfg.batch_size, augment=False,

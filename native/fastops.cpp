@@ -16,12 +16,18 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
+#endif
+
+#if defined(DESENET_HAVE_JPEG)
+#include <jpeglib.h>
 #endif
 
 extern "C" {
@@ -240,6 +246,102 @@ void rasterize_batch(int32_t* masks, int64_t b, int64_t h, int64_t w,
   }
 }
 
-int fastops_version() { return 2; }
+#if defined(DESENET_HAVE_JPEG)
+
+// libjpeg's default error handler exit()s the process; trampoline back out.
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jb, 1);
+}
+
+static void jpeg_err_silent(j_common_ptr, int) {}
+
+// Scaled JPEG decode (the reference has no equivalent: PIL decodes full-res
+// then LANCZOS-resizes, mixed_datasets.py:624-640 — measured 4x slower than
+// DCT-domain scaling + area resize on 1280px sources). Decodes `data` at the
+// largest libjpeg M/8 fraction whose LONG side stays >= target_long (so the
+// caller's final resize is a downscale), RGB output.
+//
+// out must hold out_cap bytes. Returns 1 on success, 0 on any failure
+// (corrupt stream, buffer too small, non-JPEG) — the Python wrapper falls
+// back to the PIL path. CMYK/grayscale sources are up-converted by libjpeg.
+int decode_jpeg_scaled(const uint8_t* data, int64_t len, int32_t target_long,
+                       uint8_t* out, int64_t out_cap, int32_t* out_w,
+                       int32_t* out_h, int32_t* full_w, int32_t* full_h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  err.mgr.emit_message = jpeg_err_silent;  // no stderr warnings from workers
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  *full_w = (int32_t)cinfo.image_width;
+  *full_h = (int32_t)cinfo.image_height;
+  const int32_t long_side =
+      std::max(*full_w, *full_h) > 0 ? std::max(*full_w, *full_h) : 1;
+
+  // smallest M/8 with ceil(long*M/8) >= target (libjpeg-turbo supports
+  // M=1..16; plain libjpeg only 1/2/4/8 — calc_output_dimensions rounds to
+  // what the library actually implements, so probe downward)
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_denom = 8;
+  int32_t m = 8;
+  if (target_long > 0 && target_long < long_side) {
+    for (m = 1; m < 8; ++m) {
+      if ((int64_t)long_side * m >= (int64_t)target_long * 8) break;
+    }
+  }
+  for (; m <= 8; ++m) {
+    cinfo.scale_num = (unsigned)m;
+    jpeg_calc_output_dimensions(&cinfo);
+    if ((int32_t)std::max(cinfo.output_width, cinfo.output_height) >=
+        std::min(target_long, long_side)) {
+      break;
+    }
+  }
+  if ((int64_t)cinfo.output_width * cinfo.output_height * 3 > out_cap) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_start_decompress(&cinfo);
+  *out_w = (int32_t)cinfo.output_width;
+  *out_h = (int32_t)cinfo.output_height;
+  const int64_t stride = (int64_t)cinfo.output_width * cinfo.output_components;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + (int64_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 1;
+}
+
+int has_jpeg() { return 1; }
+
+#else  // !DESENET_HAVE_JPEG
+
+int decode_jpeg_scaled(const uint8_t*, int64_t, int32_t, uint8_t*, int64_t,
+                       int32_t*, int32_t*, int32_t*, int32_t*) {
+  return 0;
+}
+
+int has_jpeg() { return 0; }
+
+#endif
+
+int fastops_version() { return 3; }
 
 }  // extern "C"

@@ -136,3 +136,100 @@ def test_wrapper_default_is_exact(rng):
         np.testing.assert_array_equal(
             rasterize_polygons([(3, pts)], (256, 256)),
             pil_rasterize([(3, pts)], (256, 256)))
+
+
+# ---------------------------------------------------------------------------
+# scaled JPEG decode (decode_jpeg_scaled / MixedDataset fast_decode)
+
+needs_jpeg = pytest.mark.skipif(
+    not __import__("desenet_tpu.native", fromlist=["jpeg_available"]
+                   ).jpeg_available(),
+    reason="fastops built without libjpeg")
+
+
+def _write_jpeg(tmp_path, w, h, name="t.jpg", quality=92, exif_orient=None):
+    rng = np.random.default_rng(0)
+    # low-frequency content so decode paths agree closely
+    small = rng.integers(0, 255, (h // 16 + 1, w // 16 + 1, 3), np.uint8)
+    arr = np.asarray(
+        Image.fromarray(small).resize((w, h), Image.BILINEAR), np.uint8)
+    img = Image.fromarray(arr)
+    p = str(tmp_path / name)
+    kw = {"quality": quality}
+    if exif_orient is not None:
+        exif = Image.Exif()
+        exif[0x0112] = exif_orient
+        kw["exif"] = exif
+    img.save(p, **kw)
+    return p, arr
+
+
+@needs_jpeg
+def test_decode_jpeg_scaled_dims_and_content(tmp_path):
+    from desenet_tpu.native import decode_jpeg_scaled
+
+    p, arr = _write_jpeg(tmp_path, 1280, 960)
+    out = decode_jpeg_scaled(open(p, "rb").read(), 640)
+    assert out is not None
+    dec, (h0, w0) = out
+    assert (h0, w0) == (960, 1280)
+    # scale 4/8 lands exactly on 640x480, long side >= target
+    assert dec.shape == (480, 640, 3)
+    # content matches a PIL full decode + box resize to the same grid
+    ref = np.asarray(Image.open(p).resize((640, 480), Image.BILINEAR),
+                     np.float32)
+    assert np.abs(dec.astype(np.float32) - ref).mean() < 8.0
+
+    # image already smaller than target: full-res decode, no upscale
+    p2, arr2 = _write_jpeg(tmp_path, 320, 240, "s.jpg")
+    dec2, (h2, w2) = decode_jpeg_scaled(open(p2, "rb").read(), 640)
+    assert dec2.shape == (240, 320, 3) and (h2, w2) == (240, 320)
+
+
+@needs_jpeg
+def test_decode_jpeg_scaled_rejects_non_jpeg(tmp_path):
+    from desenet_tpu.native import decode_jpeg_scaled
+
+    assert decode_jpeg_scaled(b"\x89PNG\r\n\x1a\n" + b"0" * 64, 640) is None
+    assert decode_jpeg_scaled(b"\xff\xd8\xff\xe0" + b"\x00" * 16, 640) is None
+
+
+@needs_jpeg
+def test_dataset_fast_decode_matches_pil_geometry(tmp_path):
+    """fast_decode load_image returns the exact reference output geometry
+    and near-identical pixels; EXIF-rotated images fall back to PIL."""
+    import shutil
+
+    from desenet_tpu.data.dataset import MixedDataset
+
+    ds_dir = tmp_path / "Images" / "train"
+    ds_dir.mkdir(parents=True)
+    (tmp_path / "DeLabels" / "train").mkdir(parents=True)
+    (tmp_path / "SeLabels" / "train").mkdir(parents=True)
+    _write_jpeg(ds_dir.parent.parent, 1280, 960, "src.jpg")
+    for i in range(2):
+        shutil.copy(str(tmp_path / "src.jpg"), str(ds_dir / f"i{i}.jpg"))
+        (tmp_path / "DeLabels" / "train" / f"i{i}.txt").write_text(
+            "0 0.5 0.5 0.2 0.2\n")
+        (tmp_path / "SeLabels" / "train" / f"i{i}.txt").write_text(
+            "1 0.1 0.1 0.9 0.1 0.5 0.9\n")
+
+    kw = dict(img_size=640, batch_size=2, augment=False)
+    ds_pil = MixedDataset(str(ds_dir), **kw)
+    ds_fast = MixedDataset(str(ds_dir), fast_decode=True, **kw)
+    a_pil, hw0_pil, hw_pil = ds_pil.load_image(0)
+    a_fast, hw0_fast, hw_fast = ds_fast.load_image(0)
+    assert hw0_pil == hw0_fast == (960, 1280)
+    assert hw_pil == hw_fast == (480, 640)
+    assert a_fast.shape == a_pil.shape
+    # different decode/resample kernels: close, not bit-equal
+    assert np.abs(a_fast.astype(np.float32) - a_pil.astype(np.float32)
+                  ).mean() < 8.0
+
+    # EXIF-rotated source must take the PIL transpose path
+    p_rot, _ = _write_jpeg(tmp_path, 1280, 960, "rot.jpg", exif_orient=6)
+    shutil.copy(p_rot, str(ds_dir / "i0.jpg"))
+    ds_rot = MixedDataset(str(ds_dir), fast_decode=True, **kw)
+    assert ds_rot._load_image_fast(str(ds_dir / "i0.jpg")) is None
+    a_rot, (h0, w0), _ = ds_rot.load_image(0)
+    assert (h0, w0) == (1280, 960)  # transposed by EXIF

@@ -65,3 +65,54 @@ def test_ensemble_forward(model_vars):
     dec, seg = ensemble_forward(members, x)
     assert dec.shape[1] == 2 * 252
     assert seg.shape == (1, 64, 64, model.spec.se_nc)
+
+
+def test_forward_augment_joint_seg(model_vars, rng):
+    """Seg TTA: averaged logits come back on the input grid; with an
+    lr-symmetric input the lr-flip variant contributes the same logits as
+    the identity variant, so the mean equals the plain forward on the
+    symmetric variants' subset."""
+    from desenet_tpu.eval import tta
+
+    model, variables = model_vars
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    dec, seg = tta.forward_augment_joint(model, variables, x)
+    assert dec.shape[1] == 3 * 252
+    assert seg.shape == (2, 64, 64, model.spec.se_nc)
+    assert np.isfinite(np.asarray(seg)).all()
+
+    # identity-only variant set must reduce to the plain forward exactly
+    orig = tta.TTA_VARIANTS
+    try:
+        tta.TTA_VARIANTS = ((1.0, ""),)
+        dec1, seg1 = tta.forward_augment_joint(model, variables, x)
+        (dec_p, _), seg_p = model.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(seg1), np.asarray(seg_p),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dec1), np.asarray(dec_p),
+                                   rtol=1e-6, atol=1e-6)
+        # lr-flip variant inverse-transforms back onto the input grid:
+        # manual composition oracle
+        tta.TTA_VARIANTS = ((1.0, "lr"),)
+        _, seg_lr = tta.forward_augment_joint(model, variables, x)
+        (_, _), seg_m = model.apply(variables, x[:, :, ::-1, :], train=False)
+        np.testing.assert_allclose(np.asarray(seg_lr),
+                                   np.asarray(seg_m[:, :, ::-1, :]),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        tta.TTA_VARIANTS = orig
+
+
+def test_validator_augment_uses_joint_tta(model_vars):
+    """The validator's augment step runs the joint TTA program (det + seg)
+    without error and returns the same shapes as the plain step."""
+    from desenet_tpu.eval.validator import Validator
+
+    model, variables = model_vars
+    v = Validator(model, nc=model.spec.de_nc, se_nc=model.spec.se_nc,
+                  augment=True)
+    step = v._eval_step((2, 64, 64, 3))
+    img = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    nms, seg_cls = step(variables, img)
+    assert seg_cls.shape == (2, 64, 64)
+    assert nms.boxes.shape[0] == 2
