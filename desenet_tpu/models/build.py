@@ -348,7 +348,10 @@ class DeSeNet(nn.Module):
                         mods[f"l{ls.i}"] = m
         self._mods = mods
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, up_to: Optional[int] = None):
+        """Forward. `up_to=k` stops after layer k and returns that layer's
+        output (feature extraction / per-layer profiling; analog of the
+        reference's feature_visualization hook, yolo.py:354-355)."""
         cache = {}
         det_out = None
         seg_out = None
@@ -428,6 +431,8 @@ class DeSeNet(nn.Module):
             if ls.i in self.spec.save:
                 cache[ls.i] = out
             prev = out
+            if up_to is not None and ls.i >= up_to:
+                return out
         return det_out, seg_out
 
 

@@ -44,6 +44,18 @@ from desenet_tpu.quant import QTensor, QuantCfg
 Dtype = Any
 
 
+def _name_conv_out(y):
+    """Tag a conv output with checkpoint_name("conv_out") so a remat policy
+    can save ONLY conv outputs and recompute the cheap BN/SiLU elementwise
+    chains in the backward (train.step `remat_convs`). Identity outside
+    jax.checkpoint. Measured on v5e (tools/probe_remat_convs.py): the policy
+    LOSES ~12% step time vs no remat — XLA's default residual choice already
+    beats the recompute's extra reads — so remat_convs is a memory option
+    (milder than full nn.remat), not a perf one; see PERF.md."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(y, "conv_out")
+
+
 def autopad(k, p=None):
     """'same' padding = k//2 (reference common.py:32-39)."""
     if p is None:
@@ -133,7 +145,7 @@ class _SplitConv(nn.Module):
                 torch_conv_bias_init(c_in * self.kernel * self.kernel),
                 (self.features,), jnp.float32)
             acc = acc + bias.astype(self.dtype)
-        return acc.astype(self.dtype)
+        return _name_conv_out(acc.astype(self.dtype))
 
 
 class Conv2d(nn.Module):
@@ -182,7 +194,7 @@ class Conv2d(nn.Module):
             ),
             name="conv2d",
         )
-        return conv(x)
+        return _name_conv_out(conv(x))
 
 
 class BatchNorm(nn.Module):

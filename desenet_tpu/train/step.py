@@ -46,6 +46,7 @@ def make_train_step(
     ema_base: float = 0.9999,
     ema_tau: float = 2000.0,
     donate: bool = True,
+    remat_convs: bool = False,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -64,15 +65,30 @@ def make_train_step(
         else:
             imgs = imgs.astype(model.dtype)
 
-        def loss_fn(params):
+        def fwd(params, x):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                imgs,
+                x,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": rng},
             )
             det_feats, seg_out = out
+            return det_feats, seg_out, mut["batch_stats"]
+
+        if remat_convs:
+            # Save ONLY conv outputs (tagged via checkpoint_name in
+            # layers.py); the backward recomputes the cheap BN/SiLU
+            # elementwise chains instead of materializing them in the
+            # forward. Requires DESENET_CONV_CKPT_NAME=1 (import-time gate).
+            fwd = jax.checkpoint(
+                fwd,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "conv_out"),
+            )
+
+        def loss_fn(params):
+            det_feats, seg_out, new_bs = fwd(params, imgs)
             det_total, comps = det_loss_fn(
                 det_feats, batch["det_targets"], batch["det_mask"]
             )
@@ -80,7 +96,7 @@ def make_train_step(
                 seg_out, batch["seg_labels"], aux_weight=seg_aux_weight
             )
             total = det_gain * det_total + seg_gain * seg_l
-            return total, (comps, seg_l, mut["batch_stats"])
+            return total, (comps, seg_l, new_bs)
 
         (loss, (comps, seg_l, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -117,3 +117,32 @@ def test_ema_tracks_params(setup):
     # closely at first steps; just check it's between init and current)
     assert float(jnp.abs(p5 - p0).max()) > 0
     assert np.isfinite(np.asarray(e5)).all()
+
+
+def test_remat_convs_equivalence(setup):
+    """remat_convs=True (save only conv outputs, recompute BN/SiLU in the
+    backward) must produce numerically identical updates to the plain step —
+    recomputation replays the same ops in the same dtypes."""
+    model, variables, loss_fn = setup
+    opt_cfg = OptimConfig(lr0=0.01)
+    batch = synth_batch(np.random.default_rng(0))
+    rng = jax.random.PRNGKey(1)
+    states = []
+    for remat in (False, True):
+        state = create_train_state(variables, opt_cfg)
+        step = make_train_step(
+            model, loss_fn, opt_cfg, one_cycle(1, 0.2, 10),
+            nb=10, warmup_iters=2, nominal_bs=2, batch_size=2,
+            donate=False, remat_convs=remat,
+        )
+        for i in range(3):
+            state, metrics = step(state, batch, rng)
+        states.append(state)
+    base, rem = states
+    for a, b in zip(jax.tree.leaves(base.params), jax.tree.leaves(rem.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(base.ema_params),
+                    jax.tree.leaves(rem.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 SIZE = 640
-B = 64
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 ITERS = 4
 
 
