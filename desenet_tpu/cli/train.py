@@ -62,6 +62,9 @@ def parse_opt(argv=None):
     p.add_argument("--fast-decode", action="store_true",
                    help="scaled-JPEG train decode (native libjpeg, ~4x PIL "
                         "on oversized sources; val keeps the PIL path)")
+    p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
+                   help="decode+resize each train image once: 'ram' pins "
+                        "arrays, 'disk' writes mmap'd .npy files")
     return p.parse_args(argv)
 
 
@@ -82,6 +85,7 @@ def main(argv=None):
         image_weights=o.image_weights, nbs=o.nbs,
         warmup_floor=o.warmup_floor, remat=o.remat, wandb=o.wandb,
         upload_dataset=o.upload_dataset, fast_decode=o.fast_decode,
+        cache_images=o.cache_images,
     )
     results = train(cfg)
     print(

@@ -146,6 +146,7 @@ class MixedDataset:
         seed: int = 0,
         prefix: str = "",
         fast_decode: bool = False,
+        cache_images: Optional[str] = None,  # None | "ram" | "disk"
     ):
         self.img_size = img_size
         self.batch_size = batch_size
@@ -226,6 +227,61 @@ class MixedDataset:
         if self.rect:
             self._setup_rect()
 
+        # ---- optional decoded-image cache ----
+        # The reference's legacy pipeline had `cache_images` (RAM pinning,
+        # datasets.py:57-86) which its mixed pipeline dropped; decode is the
+        # dominant host cost per mosaic sample (4 decodes = ~76% of sample
+        # time even with fast_decode — see PERF.md), so both a RAM and a
+        # persistent mmap'd-.npy disk variant are provided.
+        self.im_cache: Optional[List] = None
+        if cache_images:
+            self._setup_image_cache(cache_images, prefix)
+
+    # ------------------------------------------------------------------
+    def _setup_image_cache(self, mode: str, prefix: str = ""):
+        """Decode+resize every image once. 'ram' pins the arrays (read-only);
+        'disk' writes .npy files next to the label cache and loads them back
+        with mmap so the OS page cache shares them across worker threads and
+        runs. Invalidation: file path+size+mtime+img_size in the key."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        assert mode in ("ram", "disk"), f"cache_images={mode!r}"
+        self.im_cache = [None] * self.n
+        cdir = None
+        if mode == "disk":
+            cdir = Path(self.de_label_files[0]).parent.with_suffix(".imgcache")
+            cdir.mkdir(parents=True, exist_ok=True)
+
+        def one(i):
+            if mode == "ram":
+                arr, hw0, hw = self.load_image(i)
+                arr = np.ascontiguousarray(arr)
+                arr.setflags(write=False)
+                self.im_cache[i] = (arr, hw0, hw)
+                return arr.nbytes
+            p = Path(self.img_files[i])
+            st = p.stat()
+            key = hashlib.sha1(
+                f"{p.resolve()}:{st.st_size}:{int(st.st_mtime)}:"
+                f"{self.img_size}".encode()).hexdigest()[:24]
+            f = cdir / f"{key}.npy"
+            if not f.exists():
+                arr, _, _ = self.load_image(i)
+                tmp = f.with_suffix(".tmp.npy")
+                np.save(tmp, np.ascontiguousarray(arr))
+                os.replace(tmp, f)
+                nbytes = arr.nbytes
+            else:
+                nbytes = f.stat().st_size
+            self.im_cache[i] = f
+            return nbytes
+
+        with ThreadPoolExecutor(
+                max_workers=min(8, os.cpu_count() or 1)) as ex:
+            total = sum(ex.map(one, range(self.n)))
+        LOGGER.info("%simage cache (%s): %d images, %.2f GB", prefix, mode,
+                    self.n, total / 1e9)
+
     # ------------------------------------------------------------------
     def _build_cache(self, want_hash):
         items = []
@@ -302,6 +358,14 @@ class MixedDataset:
     def load_image(self, index: int):
         """Decode + EXIF-correct + resize long side to img_size
         (mixed_datasets.py:624-640). Returns BGR uint8."""
+        if self.im_cache is not None:
+            c = self.im_cache[index]
+            if isinstance(c, tuple):  # ram: (arr, (h0,w0), (h,w))
+                return c
+            if c is not None:  # disk: mmap'd .npy (read-only)
+                arr = np.load(c, mmap_mode="r")
+                w0, h0 = self.shapes[index]  # label cache stores (w, h)
+                return arr, (int(h0), int(w0)), arr.shape[:2]
         path = self.img_files[index]
         if self.fast_decode:
             out = self._load_image_fast(path)
@@ -405,6 +469,10 @@ class MixedDataset:
             )
         if self.augment:
             img = np.ascontiguousarray(img)
+            if not img.flags.writeable:
+                # cached images are read-only (RAM pin / disk mmap) and the
+                # no-op letterbox case passes them through — HSV is in-place
+                img = img.copy()
             augment_hsv(img, rng, hyp.get("hsv_h", 0), hyp.get("hsv_s", 0),
                         hyp.get("hsv_v", 0))
 

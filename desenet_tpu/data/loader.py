@@ -132,6 +132,7 @@ def create_mixed_dataloader(
     stage=None,
     seed: int = 0,
     fast_decode: bool = False,
+    cache_images=None,
 ):
     """Reference create_mixed_dataloader equivalent (mixed_datasets.py:91-118):
     returns (loader, dataset)."""
@@ -139,6 +140,7 @@ def create_mixed_dataloader(
         path, img_size=img_size, batch_size=batch_size, augment=augment,
         hyp=hyp, rect=rect, stride=stride, pad=pad, single_cls=single_cls,
         max_targets=max_targets, seed=seed, fast_decode=fast_decode,
+        cache_images=cache_images,
     )
     loader = DataLoader(
         dataset,

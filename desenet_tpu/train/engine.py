@@ -98,6 +98,9 @@ class TrainConfig:
     upload_dataset: bool = False  # log the dataset as a W&B artifact
     fast_decode: bool = False  # scaled-JPEG train decode (native libjpeg;
     # ~4x PIL on oversized sources, not pixel-equal — val keeps PIL)
+    cache_images: Optional[str] = None  # "ram" | "disk": decode each image
+    # once (reference datasets.py:57-86 cache_images; decode is ~76% of
+    # mosaic sample cost, PERF.md)
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -196,6 +199,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         hyp=hyp, stride=max(spec.det_strides), single_cls=cfg.single_cls,
         workers=cfg.workers, max_targets=cfg.max_targets, seed=cfg.seed,
         stage=_stage, fast_decode=cfg.fast_decode,
+        cache_images=cfg.cache_images,
     )
     val_loader, val_ds = create_mixed_dataloader(
         data["val"], img_size=imgsz, batch_size=cfg.batch_size, augment=False,

@@ -127,3 +127,42 @@ def test_rect_mode(fake_root):
     h, w = img.shape[:2]
     assert h % 32 == 0 and w % 32 == 0
     assert shapes is not None
+
+
+def test_image_cache_equivalence(fake_root):
+    """cache_images ram/disk produce byte-identical samples to no cache,
+    for both the mosaic-augment and the plain val path; the disk cache
+    persists and is reused (reference datasets.py:57-86 analog)."""
+    train = os.path.join(fake_root, "Images", "train")
+    hyp = dict(mosaic=1.0, degrees=5, translate=0.1, scale=0.2, shear=2,
+               hsv_h=0.05, hsv_s=0.2, hsv_v=0.1, flipud=0.2, fliplr=0.5)
+
+    def samples(**kw):
+        ds = MixedDataset(train, img_size=160, batch_size=4, seed=3, **kw)
+        ds.set_epoch(1)
+        return [ds.get_sample(i) for i in range(4)]
+
+    for kw in (dict(augment=True, hyp=hyp), dict(augment=False)):
+        base = samples(**kw)
+        for mode in ("ram", "disk"):
+            got = samples(cache_images=mode, **kw)
+            for a, b in zip(base, got):
+                np.testing.assert_array_equal(a[0], b[0])
+                np.testing.assert_array_equal(a[1], b[1])
+                np.testing.assert_array_equal(a[2], b[2])
+                assert a[4] == b[4]  # shapes tuple incl. (h0, w0)
+
+    # disk cache directory exists and a second construction reuses it
+    import pathlib
+    ds = MixedDataset(train, img_size=160, batch_size=4,
+                      cache_images="disk")
+    cdir = pathlib.Path(ds.de_label_files[0]).parent.with_suffix(".imgcache")
+    files = sorted(cdir.glob("*.npy"))
+    assert len(files) == len(ds)
+    mtimes = [f.stat().st_mtime_ns for f in files]
+    ds2 = MixedDataset(train, img_size=160, batch_size=4,
+                       cache_images="disk")
+    assert [f.stat().st_mtime_ns for f in files] == mtimes  # not rewritten
+    a = ds.get_sample(2)
+    b = ds2.get_sample(2)
+    np.testing.assert_array_equal(a[0], b[0])
