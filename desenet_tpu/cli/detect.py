@@ -57,6 +57,7 @@ def run(
     project="runs/detect",
     name="exp",
     exist_ok=False,
+    visualize=False,
 ):
     save_img = not nosave
     webcam = str(source).isnumeric() or str(source).lower().startswith(
@@ -100,6 +101,16 @@ def run(
     for path, img, im0s, vid_cap in dataset:
         if img.ndim == 3:
             img = img[None]
+        if visualize and seen == 0:
+            # per-layer feature-map grids for the first image (reference
+            # detect.py --visualize -> Model.forward(visualize=save_dir))
+            from desenet_tpu.utils.plots import visualize_model_features
+
+            outs = visualize_model_features(
+                model, variables, jnp.asarray(img).astype(dtype) / 255.0,
+                save_dir=str(save_dir / "features"))
+            print(f"feature maps: {len(outs)} layers -> "
+                  f"{save_dir / 'features'}")
         t0 = time.perf_counter()
         nms, seg_cls = jax.block_until_ready(
             infer(variables, jnp.asarray(img))
@@ -207,6 +218,9 @@ def parse_opt(argv=None):
     p.add_argument("--classes", nargs="+", type=int)
     p.add_argument("--agnostic-nms", action="store_true")
     p.add_argument("--augment", action="store_true", help="TTA inference")
+    p.add_argument("--visualize", action="store_true",
+                   help="dump per-layer feature-map grids for the first "
+                        "image")
     p.add_argument("--line-thickness", type=int, default=3)
     p.add_argument("--hide-labels", action="store_true")
     p.add_argument("--hide-conf", action="store_true")
@@ -225,6 +239,7 @@ def main(argv=None):
         o.max_det, o.save_txt, o.save_conf, o.save_crop, o.nosave, o.classes,
         o.agnostic_nms, o.augment, o.line_thickness, o.hide_labels,
         o.hide_conf, not o.no_half, o.project, o.name, o.exist_ok,
+        visualize=o.visualize,
     )
 
 

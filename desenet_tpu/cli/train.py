@@ -62,6 +62,13 @@ def parse_opt(argv=None):
     p.add_argument("--fast-decode", action="store_true",
                    help="scaled-JPEG train decode (native libjpeg, ~4x PIL "
                         "on oversized sources; val keeps the PIL path)")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular training (aspect-sorted batch shapes)")
+    p.add_argument("--quad", action="store_true",
+                   help="quad collate (4 images -> 2x2 super-image or "
+                        "2x upscale)")
+    p.add_argument("--freeze", type=int, default=0,
+                   help="freeze first N layers")
     p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
                    help="decode+resize each train image once: 'ram' pins "
                         "arrays, 'disk' writes mmap'd .npy files")
@@ -85,7 +92,8 @@ def main(argv=None):
         image_weights=o.image_weights, nbs=o.nbs,
         warmup_floor=o.warmup_floor, remat=o.remat, wandb=o.wandb,
         upload_dataset=o.upload_dataset, fast_decode=o.fast_decode,
-        cache_images=o.cache_images,
+        cache_images=o.cache_images, rect=o.rect, quad=o.quad,
+        freeze=o.freeze,
     )
     results = train(cfg)
     print(

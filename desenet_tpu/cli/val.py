@@ -41,6 +41,7 @@ def run(
     save_txt=False,
     save_conf=False,
     save_json=False,
+    save_hybrid=False,
     coco_anno="",
     int8=False,
     calib_batches=2,
@@ -90,7 +91,11 @@ def run(
         iou_thres=iou_thres, single_cls=single_cls, plots=plots,
         save_dir=save_dir, names=names, augment=augment,
         save_txt=save_txt, save_conf=save_conf, save_json=save_json,
+        save_hybrid=save_hybrid,
     )
+    if save_hybrid:
+        print("WARNING: --save-hybrid returns high mAP from hybrid "
+              "labels, not from predictions alone (reference val.py:296)")
     results = validator.run(variables, loader)
 
     pf = "%20s" + "%11i" * 1 + "%11.3g" * 6
@@ -174,6 +179,9 @@ def parse_opt(argv=None):
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
     p.add_argument("--save-json", action="store_true")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="inject GT labels pre-NMS and save hybrid "
+                        "label+prediction txt (auto-labelling)")
     p.add_argument("--coco-anno", type=str, default="",
                    help="COCO instances json for vendored COCOeval "
                         "(default: <data path>/annotations/instances_val2017.json)")
@@ -199,7 +207,8 @@ def main(argv=None):
         o.data, o.weights, o.batch_size, o.img_size, o.conf_thres,
         o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
         o.plots, o.save_dir, o.workers, o.augment, o.save_txt, o.save_conf,
-        o.save_json, o.coco_anno, int8=o.int8,
+        o.save_json, coco_anno=o.coco_anno, int8=o.int8,
+        save_hybrid=o.save_hybrid,
     )
 
 

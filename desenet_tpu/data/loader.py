@@ -22,7 +22,7 @@ from typing import Callable, Iterator, Optional
 import cv2
 import numpy as np
 
-from desenet_tpu.data.dataset import MixedDataset, collate
+from desenet_tpu.data.dataset import MixedDataset, collate, collate_quad
 
 # our own thread pool provides the parallelism; cv2's internal threading on
 # top of it oversubscribes cores (the reference hits the same clash,
@@ -44,6 +44,7 @@ class DataLoader:
         stage: Optional[Callable] = None,
         prefetch: int = 2,
         seed: int = 0,
+        quad: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -57,6 +58,11 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.epoch = 0
+        # quad collate (reference --quad / collate_fn4): groups of 4 samples
+        # become one 2x-size image; output batch is (batch_size//4, 2s, 2s)
+        self.quad = quad
+        if quad:
+            assert batch_size % 4 == 0, "--quad needs batch_size % 4 == 0"
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -85,9 +91,14 @@ class DataLoader:
             for i in range(nb)
         ]
 
-        def make_batch(pos_list):
+        def make_batch(pos_list, bidx):
             samples = [self.dataset.get_sample(int(p)) for p in pos_list]
-            batch = collate(samples, self.max_targets)
+            if self.quad:
+                rng = np.random.default_rng(np.random.SeedSequence(
+                    [self.seed, self.epoch, int(bidx)]))
+                batch = collate_quad(samples, self.max_targets, rng=rng)
+            else:
+                batch = collate(samples, self.max_targets)
             if self.stage is not None:
                 batch = self.stage(batch)
             return batch
@@ -95,11 +106,12 @@ class DataLoader:
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
             futures = queue.Queue()
             depth = min(self.prefetch * max(1, self.workers // 2), nb)
-            it = iter(batches)
+            it = iter(enumerate(batches))
             submitted = 0
             for _ in range(depth):
                 try:
-                    futures.put(pool.submit(make_batch, next(it)))
+                    bi, bp = next(it)
+                    futures.put(pool.submit(make_batch, bp, bi))
                     submitted += 1
                 except StopIteration:
                     break
@@ -107,7 +119,8 @@ class DataLoader:
             while produced < nb:
                 fut = futures.get()
                 try:
-                    futures.put(pool.submit(make_batch, next(it)))
+                    bi, bp = next(it)
+                    futures.put(pool.submit(make_batch, bp, bi))
                 except StopIteration:
                     pass
                 yield fut.result()
@@ -133,6 +146,7 @@ def create_mixed_dataloader(
     seed: int = 0,
     fast_decode: bool = False,
     cache_images=None,
+    quad: bool = False,
 ):
     """Reference create_mixed_dataloader equivalent (mixed_datasets.py:91-118):
     returns (loader, dataset)."""
@@ -153,5 +167,6 @@ def create_mixed_dataloader(
         drop_last=augment,
         stage=stage,
         seed=seed,
+        quad=quad,
     )
     return loader, dataset

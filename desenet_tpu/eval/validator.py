@@ -77,6 +77,7 @@ class Validator:
         save_txt: bool = False,
         save_conf: bool = False,
         save_json: bool = False,
+        save_hybrid: bool = False,
     ):
         self.model = model
         self.nc = nc
@@ -94,6 +95,11 @@ class Validator:
         self.save_txt = save_txt
         self.save_conf = save_conf
         self.save_json = save_json
+        # hybrid label+prediction outputs for auto-labelling: ground-truth
+        # boxes are injected pre-NMS as conf-1.0 candidates (reference
+        # val.py:226-230 `lb` -> general.py nms labels path). Metrics are
+        # NOT meaningful with hybrid on (reference prints the same caveat).
+        self.save_hybrid = save_hybrid
         self.iouv = np.linspace(0.5, 0.95, 10)
         self._step_cache = {}
 
@@ -105,7 +111,7 @@ class Validator:
         augment = self.augment
 
         @jax.jit
-        def step(variables, img_u8):
+        def step(variables, img_u8, tgts, tmask):
             x = img_u8.astype(model.dtype) / 255.0
             if augment:
                 # TTA: det scales+flips ensembled before NMS; seg logits
@@ -115,6 +121,19 @@ class Validator:
                 dec, seg = forward_augment_joint(model, variables, x)
             else:
                 (dec, feats), seg = model.apply(variables, x, train=False)
+            if self.save_hybrid:
+                # inject GT as conf-1.0 candidates: rows (B, M, 5+nc) with
+                # pixel-xywh box, obj=mask, one-hot class prob 1.0 —
+                # padded rows carry obj=0 and fall to the conf filter
+                h = jnp.float32(x.shape[1])
+                w = jnp.float32(x.shape[2])
+                box = tgts[..., 1:5] * jnp.asarray([w, h, w, h])
+                obj = tmask.astype(dec.dtype)[..., None]
+                onehot = jax.nn.one_hot(tgts[..., 0].astype(jnp.int32),
+                                        self.nc, dtype=dec.dtype)
+                rows = jnp.concatenate(
+                    [box.astype(dec.dtype), obj, onehot], axis=-1)
+                dec = jnp.concatenate([dec, rows], axis=1)
             nms = non_max_suppression(
                 dec,
                 conf_thres=self.conf_thres,
@@ -179,7 +198,9 @@ class Validator:
             img = jnp.asarray(batch["image"])
             t1 = time.perf_counter()
             step = self._eval_step(tuple(batch["image"].shape))
-            nms, seg_cls = jax.block_until_ready(step(variables, img))
+            nms, seg_cls = jax.block_until_ready(step(
+                variables, img, jnp.asarray(batch["det_targets"]),
+                jnp.asarray(batch["det_mask"])))
             t2 = time.perf_counter()
 
             boxes = np.asarray(nms.boxes)

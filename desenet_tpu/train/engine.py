@@ -101,6 +101,11 @@ class TrainConfig:
     cache_images: Optional[str] = None  # "ram" | "disk": decode each image
     # once (reference datasets.py:57-86 cache_images; decode is ~76% of
     # mosaic sample cost, PERF.md)
+    rect: bool = False  # aspect-sorted per-batch shapes (train.py --rect;
+    # disables mosaic + shuffle; one jit specialization per shape bucket)
+    quad: bool = False  # quad collate: groups of 4 -> 2x2 super-image or
+    # 2x upscale (train.py --quad, mixed_datasets.py collate_fn4)
+    freeze: int = 0  # freeze first N layers (train.py:137-143)
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -199,7 +204,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         hyp=hyp, stride=max(spec.det_strides), single_cls=cfg.single_cls,
         workers=cfg.workers, max_targets=cfg.max_targets, seed=cfg.seed,
         stage=_stage, fast_decode=cfg.fast_decode,
-        cache_images=cfg.cache_images,
+        cache_images=cfg.cache_images, rect=cfg.rect, quad=cfg.quad,
     )
     val_loader, val_ds = create_mixed_dataloader(
         data["val"], img_size=imgsz, batch_size=cfg.batch_size, augment=False,
@@ -288,7 +293,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     step_fn = make_train_step(
         model, det_loss, opt_cfg, lf, nb=nb, warmup_iters=warmup_iters,
         nominal_bs=cfg.nbs, batch_size=cfg.batch_size, det_gain=cfg.det_gain,
-        seg_gain=cfg.seg_gain,
+        seg_gain=cfg.seg_gain, freeze=cfg.freeze,
     )
 
     validator = Validator(

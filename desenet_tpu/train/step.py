@@ -19,6 +19,7 @@ reproduce it.
 from __future__ import annotations
 
 import functools
+import re
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -47,6 +48,7 @@ def make_train_step(
     ema_tau: float = 2000.0,
     donate: bool = True,
     remat_convs: bool = False,
+    freeze: int = 0,
 ):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -56,6 +58,13 @@ def make_train_step(
       seg_labels (B, H, W) int32
     """
     accum_target = nominal_bs / batch_size
+
+    def _frozen(key: str) -> bool:
+        # params are keyed l{i} (or l{i}s{j} for n>1 repeats); freeze the
+        # first `freeze` layers like the reference's requires_grad=False
+        # loop (train.py:137-143, `model.{x}.` prefixes)
+        m = re.match(r"l(\d+)(?:s\d+)?$", key)
+        return m is not None and int(m.group(1)) < freeze
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng):
         ni = state.step
@@ -102,6 +111,12 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params)
 
+        if freeze > 0:
+            grads = {
+                k: (jax.tree.map(jnp.zeros_like, v) if _frozen(k) else v)
+                for k, v in grads.items()
+            }
+
         accum = jax.tree.map(lambda a, g: a + g.astype(a.dtype),
                              state.accum_grads, grads)
 
@@ -127,6 +142,13 @@ def make_train_step(
             state.params, accum, state.opt_state, state.groups, opt_cfg,
             lr_scale, warmup_t,
         )
+        if freeze > 0:
+            # zeroed grads alone are not enough: the decay group's weight-
+            # decay term would still move frozen params — pin them
+            new_params = {
+                k: (state.params[k] if _frozen(k) else v)
+                for k, v in new_params.items()
+            }
         updates = state.ema_updates + 1
         ema_p = ema_update(state.ema_params, new_params, updates,
                            ema_base, ema_tau)

@@ -166,3 +166,20 @@ def test_image_cache_equivalence(fake_root):
     a = ds.get_sample(2)
     b = ds2.get_sample(2)
     np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_quad_loader(fake_root):
+    """--quad collate: batches of bs//4 images at 2x size, epoch-varying
+    upscale-vs-tile choices (reference collate_fn4)."""
+    from desenet_tpu.data.loader import create_mixed_dataloader
+    hyp = dict(mosaic=0.0, fliplr=0.0)
+    loader, ds = create_mixed_dataloader(
+        os.path.join(fake_root, "Images", "train"), img_size=160,
+        batch_size=8, augment=True, hyp=hyp, quad=True, workers=2, seed=0)
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert batches, "no batches"
+    for b in batches:
+        assert b["image"].shape[0] == 2  # 8 // 4
+        assert b["image"].shape[1:3] == (320, 320)
+        assert b["seg_labels"].shape[1:] == (320, 320)

@@ -146,3 +146,35 @@ def test_remat_convs_equivalence(setup):
                     jax.tree.leaves(rem.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_freeze_layers(setup):
+    """freeze=N pins layers l0..l{N-1} exactly (grads zeroed AND the weight-
+    decay term masked, matching the reference's requires_grad=False loop,
+    train.py:137-143); later layers still train."""
+    model, variables, loss_fn = setup
+    opt_cfg = OptimConfig(lr0=0.05)
+    state = create_train_state(variables, opt_cfg)
+    step = make_train_step(
+        model, loss_fn, opt_cfg, one_cycle(1, 0.2, 10),
+        nb=10, warmup_iters=0, nominal_bs=2, batch_size=2,
+        donate=False, freeze=2,
+    )
+    batch = synth_batch(np.random.default_rng(0))
+    p0 = jax.tree.map(lambda v: np.asarray(v).copy(), state.params)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+    frozen_keys = [k for k in state.params if k in ("l0", "l1")
+                   or k.startswith(("l0s", "l1s"))]
+    assert frozen_keys, list(state.params)
+    moved = 0
+    for k in state.params:
+        a = np.concatenate([np.ravel(v) for v in
+                            jax.tree.leaves(p0[k])])
+        b = np.concatenate([np.ravel(np.asarray(v)) for v in
+                            jax.tree.leaves(state.params[k])])
+        if k in frozen_keys:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+        elif not np.array_equal(a, b):
+            moved += 1
+    assert moved > 0

@@ -113,6 +113,45 @@ def test_validator_augment_uses_joint_tta(model_vars):
                   augment=True)
     step = v._eval_step((2, 64, 64, 3))
     img = jnp.zeros((2, 64, 64, 3), jnp.uint8)
-    nms, seg_cls = step(variables, img)
+    tg = jnp.zeros((2, 8, 5), jnp.float32)
+    msk = jnp.zeros((2, 8), bool)
+    nms, seg_cls = step(variables, img, tg, msk)
     assert seg_cls.shape == (2, 64, 64)
     assert nms.boxes.shape[0] == 2
+
+
+def test_validator_save_hybrid_injects_labels(model_vars):
+    """save_hybrid injects GT boxes as conf-1.0 candidates pre-NMS
+    (reference val.py:226-230 lb -> nms labels path): every GT box must
+    appear in the NMS keep set at score ~1.0."""
+    from desenet_tpu.eval.validator import Validator
+
+    model, variables = model_vars
+    v = Validator(model, nc=model.spec.de_nc, se_nc=model.spec.se_nc,
+                  conf_thres=0.25, save_hybrid=True)
+    step = v._eval_step((2, 64, 64, 3))
+    img = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    tg = np.zeros((2, 8, 5), np.float32)
+    msk = np.zeros((2, 8), bool)
+    tg[0, 0] = [1, 0.5, 0.5, 0.4, 0.3]
+    tg[0, 1] = [0, 0.2, 0.2, 0.1, 0.1]
+    msk[0, :2] = True
+    nms, _ = step(variables, img, jnp.asarray(tg), jnp.asarray(msk))
+    boxes = np.asarray(nms.boxes[0])
+    scores = np.asarray(nms.scores[0])
+    classes = np.asarray(nms.classes[0])
+    n = int(nms.num[0])
+    assert n >= 2
+    kept = boxes[:n][scores[:n] > 0.99]
+    kcls = classes[:n][scores[:n] > 0.99]
+    # GT (xywhn on 64px) -> xyxy pixels
+    for cls, cx, cy, w, h in tg[0][msk[0]]:
+        want = np.asarray([(cx - w / 2) * 64, (cy - h / 2) * 64,
+                           (cx + w / 2) * 64, (cy + h / 2) * 64])
+        d = np.abs(kept - want).max(axis=1) if len(kept) else np.asarray([9e9])
+        i = int(np.argmin(d))
+        assert d[i] < 0.6, (want, kept)
+        assert int(kcls[i]) == int(cls)
+    # image 1 had no labels: nothing at conf ~1
+    n1 = int(nms.num[1])
+    assert not (np.asarray(nms.scores[1][:n1]) > 0.99).any()
