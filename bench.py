@@ -1,7 +1,7 @@
 """Benchmark: joint (det+seg) batched inference throughput on one TPU chip.
 
 Measures the full production inference program — forward (bf16, NHWC) +
-Detect decode + fixed-shape NMS + seg argmax — at batch 32, 640x640, matching
+Detect decode + fixed-shape NMS + seg argmax — at batch 128, 640x640, matching
 BASELINE.md's north-star config (>=2000 img/s/chip on v5e).
 
 Methodology notes (this environment):

@@ -38,7 +38,7 @@ def parse_opt(argv=None):
     p.add_argument("--max-targets", type=int, default=128)
     p.add_argument("--noval", action="store_true")
     p.add_argument("--nosave", action="store_true")
-    p.add_argument("--save-period", type=int, default=-1)
+    p.add_argument("--save-period", "--save_period", type=int, default=-1)
     p.add_argument("--det-gain", type=float, default=0.14,
                    help="detection loss gain (train.py:285)")
     p.add_argument("--seg-gain", type=float, default=1.0)
@@ -57,8 +57,21 @@ def parse_opt(argv=None):
                    help="rematerialize activations (bigger batches)")
     p.add_argument("--wandb", action="store_true",
                    help="W&B logging (offline backend when pkg absent)")
-    p.add_argument("--upload-dataset", action="store_true",
+    p.add_argument("--upload-dataset", "--upload_dataset",
+                   action="store_true",
                    help="log the dataset as a W&B artifact")
+    p.add_argument("--entity", type=str, default=None, help="W&B entity")
+    p.add_argument("--bbox-interval", "--bbox_interval", type=int, default=-1,
+                   help="epochs between W&B val media panels "
+                        "(-1 = epochs//10, reference semantics)")
+    p.add_argument("--artifact-alias", "--artifact_alias", type=str,
+                   default="latest",
+                   help="dataset artifact version for wandb-artifact:// "
+                        "splits")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="accepted for reference-CLI compatibility; BN stats "
+                        "are ALWAYS global-batch on the device mesh here "
+                        "(SyncBN by construction, parallel/mesh.py)")
     p.add_argument("--fast-decode", action="store_true",
                    help="scaled-JPEG train decode (native libjpeg, ~4x PIL "
                         "on oversized sources; val keeps the PIL path)")
@@ -93,7 +106,8 @@ def main(argv=None):
         warmup_floor=o.warmup_floor, remat=o.remat, wandb=o.wandb,
         upload_dataset=o.upload_dataset, fast_decode=o.fast_decode,
         cache_images=o.cache_images, rect=o.rect, quad=o.quad,
-        freeze=o.freeze,
+        freeze=o.freeze, entity=o.entity, bbox_interval=o.bbox_interval,
+        artifact_alias=o.artifact_alias,
     )
     results = train(cfg)
     print(

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -173,7 +174,12 @@ def parse_opt(argv=None):
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--no-half", action="store_true")
     p.add_argument("--plots", action="store_true")
-    p.add_argument("--save-dir", type=str, default="runs/val")
+    p.add_argument("--save-dir", type=str, default=None,
+                   help="explicit output dir (overrides --project/--name)")
+    p.add_argument("--project", type=str, default="runs/val",
+                   help="output root (reference val.py --project)")
+    p.add_argument("--name", type=str, default="exp")
+    p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--augment", action="store_true", help="TTA inference")
     p.add_argument("--save-txt", action="store_true")
@@ -193,6 +199,13 @@ def parse_opt(argv=None):
 def main(argv=None):
     set_logging()
     o = parse_opt(argv)
+    if o.save_dir is None:
+        # runs/val/exp, exp2, ... like the reference (val.py:172-173)
+        from desenet_tpu.utils.general import increment_path
+
+        o.save_dir = str(increment_path(
+            os.path.join(o.project, o.name), exist_ok=o.exist_ok,
+            mkdir=True))
     if o.task == "speed":
         return run_speed(o.data, o.weights, o.batch_size, o.img_size,
                          not o.no_half)

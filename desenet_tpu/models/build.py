@@ -19,6 +19,7 @@ this unrolls into a single XLA graph.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -84,9 +85,22 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
     nc / se_nc / anchors override the yaml values (the reference supports the
     det-nc and anchors overrides, yolo.py:298-303; the seg analog prevents
     silent class-count mismatches with the dataset)."""
-    if not isinstance(cfg, dict):
+    if isinstance(cfg, (str, os.PathLike)):
         with open(cfg, "r", encoding="utf-8") as fh:
             cfg = pyyaml.safe_load(fh)
+
+    if not isinstance(cfg, dict):
+        raise ValueError(f"model config must be a mapping, got {type(cfg).__name__}")
+    missing = [k for k in ("depth_multiple", "width_multiple", "anchors",
+                           "backbone", "head")
+               if k not in cfg]
+    if nc is None and "de_nc" not in cfg:
+        missing.insert(0, "de_nc")
+    if missing:
+        raise ValueError(
+            f"model config missing required key(s) {missing}; expected the "
+            "reference yaml schema (de_nc/se_nc, depth_multiple, "
+            "width_multiple, anchors, backbone, head; see docs/MODEL_DSL.md)")
 
     de_nc = int(nc if nc is not None else cfg["de_nc"])
     se_nc = int(se_nc if se_nc is not None else cfg.get("se_nc", 0))
@@ -108,10 +122,22 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
     det_strides: Tuple[int, ...] = ()
 
     rows = list(cfg["backbone"]) + list(cfg["head"])
-    for i, (f, n, mname, args) in enumerate(rows):
+    for i, row in enumerate(rows):
+        try:
+            f, n, mname, args = row
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"model config row {i} must be [from, number, module, args], "
+                f"got {row!r}") from None
         fs = tuple(
             (x if x >= 0 else i + x) for x in (f if isinstance(f, list) else [f])
         )
+        for x in fs:
+            if not (-1 <= x < i):
+                raise ValueError(
+                    f"row {i} ({mname}): 'from' index {x} out of range — "
+                    f"must reference the input (-1 relative / earlier layer "
+                    f"0..{i - 1})")
         n_out = _round_depth(int(n), gd)
         args = list(args)
 

@@ -96,6 +96,11 @@ class TrainConfig:
     remat: bool = False  # rematerialize activations (bigger batches)
     wandb: bool = False  # W&B sink (offline backend when pkg absent)
     upload_dataset: bool = False  # log the dataset as a W&B artifact
+    entity: Optional[str] = None  # W&B entity (train.py --entity)
+    bbox_interval: int = -1  # epochs between W&B val media panels; -1 =
+    # epochs//10 like the reference (wandb_utils.py:252-253)
+    artifact_alias: str = "latest"  # dataset artifact version for
+    # wandb-artifact:// splits (train.py --artifact_alias)
     fast_decode: bool = False  # scaled-JPEG train decode (native libjpeg;
     # ~4x PIL on oversized sources, not pixel-equal — val keeps PIL)
     cache_images: Optional[str] = None  # "ram" | "disk": decode each image
@@ -134,13 +139,39 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     if cfg.wandb:
         from desenet_tpu.utils.wandb_logger import WandbLogger
 
+        # -1 -> every epochs//10 epochs, as the reference resolves it
+        # (wandb_utils.py:252-253)
+        bbox_interval = (cfg.bbox_interval if cfg.bbox_interval > 0 else
+                         (cfg.epochs // 10 if cfg.epochs > 10 else 1))
         wb = WandbLogger(project=os.path.basename(cfg.project) or
                          "desenet_tpu", name=cfg.name,
                          config={**vars(cfg), "hyp": hyp},
+                         bbox_interval=bbox_interval, entity=cfg.entity,
                          dir=save_dir)
         callbacks.auto_register(wb)
 
-    data = check_dataset(cfg.data)
+    data_cfg = cfg.data
+    if wb is not None and wb.enabled:
+        # resolve wandb-artifact:// splits/checkpoints before path checks
+        # (reference wandb_utils.py:90-97, 70-81; version via artifact_alias)
+        from desenet_tpu.utils.wandb_logger import WANDB_ARTIFACT_PREFIX
+
+        if isinstance(data_cfg, (str, os.PathLike)):
+            with open(data_cfg, encoding="utf-8") as f:
+                data_cfg = yaml.safe_load(f)
+        for k in ("train", "val"):
+            if str(data_cfg.get(k, "")).startswith(WANDB_ARTIFACT_PREFIX):
+                local = wb.download_dataset_artifact(
+                    data_cfg[k], alias=cfg.artifact_alias)
+                assert local, f"failed to resolve dataset artifact {data_cfg[k]}"
+                data_cfg[k] = local
+        for attr in ("resume", "weights"):
+            path = getattr(cfg, attr)
+            if str(path).startswith(WANDB_ARTIFACT_PREFIX):
+                local = wb.download_model_artifact(path)
+                assert local, f"failed to resolve model artifact {path}"
+                setattr(cfg, attr, local)
+    data = check_dataset(data_cfg)
     if wb is not None and wb.enabled and cfg.upload_dataset:
         # dataset artifact (wandb_utils.py:321-345); splits keep local paths
         # for this run, the artifact carries the copies

@@ -43,6 +43,7 @@ class WandbLogger:
                  mode: Optional[str] = None,
                  max_imgs_to_log: int = 16,
                  bbox_interval: int = 1,
+                 entity: Optional[str] = None,
                  dir: Optional[str] = None):
         self.run = None
         self.current_epoch = 0
@@ -60,7 +61,7 @@ class WandbLogger:
             self.run = _WANDB.init(
                 project=project, name=name, config=config or {},
                 id=resume_id, resume="allow" if resume_id else None,
-                job_type=job_type, dir=dir,
+                job_type=job_type, dir=dir, entity=entity,
             )
             self._new_result_table()
         except Exception as e:  # no-auth online environments
@@ -199,11 +200,17 @@ class WandbLogger:
             out[split] = WANDB_ARTIFACT_PREFIX + f"{split}_dataset:latest"
         return out
 
-    def download_dataset_artifact(self, path: str) -> Optional[str]:
+    def download_dataset_artifact(self, path: str,
+                                  alias: str = "latest") -> Optional[str]:
+        """Resolve a wandb-artifact:// dataset split to a local dir; `alias`
+        selects the artifact version (reference --artifact_alias,
+        wandb_utils.py:90-97)."""
         if self.run is None or not str(path).startswith(
                 WANDB_ARTIFACT_PREFIX):
             return None
-        art = self.run.use_artifact(str(path)[len(WANDB_ARTIFACT_PREFIX):])
+        name = str(path)[len(WANDB_ARTIFACT_PREFIX):]
+        art = self.run.use_artifact(
+            name if ":" in name else f"{name}:{alias}")
         if art is None:
             return None
         return os.path.join(art.download(), "data")

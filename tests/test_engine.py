@@ -116,6 +116,43 @@ def test_multiscale_and_image_weights(micro_root, tmp_path_factory):
     assert all(np.isfinite(float(v)) for v in vals)
 
 
+def test_detect_cli_video(train_run, micro_root, tmp_path_factory):
+    """End-to-end video path: LoadImages video iteration + detect CLI's
+    cv2.VideoWriter output (reference scripts/detect.py:256-268)."""
+    import cv2
+    from desenet_tpu.cli.detect import run as detect_run
+
+    src_dir = tmp_path_factory.mktemp("vidsrc")
+    vid = str(src_dir / "clip.mp4")
+    writer = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 10.0,
+                             (96, 96))
+    if not writer.isOpened():
+        pytest.skip("cv2 build lacks mp4v encoder")
+    img_dir = os.path.join(micro_root, "Images", "val")
+    frames = sorted(os.listdir(img_dir))[:3]
+    for name in frames:
+        frame = cv2.imread(os.path.join(img_dir, name))
+        for _ in range(2):  # 6 frames total
+            writer.write(frame)
+    writer.release()
+
+    out = tmp_path_factory.mktemp("det_vid")
+    save_dir = detect_run(
+        os.path.join(train_run["save_dir"], "last"), vid,
+        imgsz=64, conf_thres=0.1, half=False,
+        project=str(out), name="v", exist_ok=True,
+    )
+    out_vid = os.path.join(save_dir, "clip.mp4")
+    assert os.path.exists(out_vid)
+    cap = cv2.VideoCapture(out_vid)
+    n, ok = 0, True
+    while ok:
+        ok, _ = cap.read()
+        n += ok
+    cap.release()
+    assert n == 6  # every source frame annotated and re-encoded
+
+
 def test_detect_cli(train_run, micro_root, tmp_path_factory):
     from desenet_tpu.cli.detect import run as detect_run
 
