@@ -67,12 +67,26 @@ def run(
     (save_dir / "labels" if save_txt else save_dir).mkdir(parents=True,
                                                           exist_ok=True)
 
-    variables, meta = load_inference_variables(weights)
-    assert meta is not None, "checkpoint missing meta.json"
     dtype = jnp.bfloat16 if half else jnp.float32
-    model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
-                              se_nc=meta["se_nc"], dtype=dtype,
-                              seg_upsample=False)
+    weights_list = [weights] if isinstance(weights, (str, Path)) else list(weights)
+    if len(weights_list) > 1:
+        # multi-checkpoint ensemble — joint NMS over concatenated decodes,
+        # seg logits averaged (reference detect.py --weights nargs + ->
+        # attempt_load Ensemble, experimental.py:78-108)
+        from desenet_tpu.eval.ensemble import EnsembleModel, load_ensemble
+
+        members = load_ensemble(weights_list, dtype=dtype,
+                                seg_upsample=False)
+        meta = members[0][2]
+        model = EnsembleModel([m for m, _, _ in members])
+        spec = model.spec
+        variables = tuple(v for _, v, _ in members)
+    else:
+        variables, meta = load_inference_variables(weights_list[0])
+        assert meta is not None, "checkpoint missing meta.json"
+        model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
+                                  se_nc=meta["se_nc"], dtype=dtype,
+                                  seg_upsample=False)
     stride = max(spec.det_strides)
     imgsz = check_img_size(imgsz, s=stride)
     names = meta.get("de_names") or [str(i) for i in range(spec.de_nc)]
@@ -101,7 +115,7 @@ def run(
     for path, img, im0s, vid_cap in dataset:
         if img.ndim == 3:
             img = img[None]
-        if visualize and seen == 0:
+        if visualize and seen == 0 and len(weights_list) == 1:
             # per-layer feature-map grids for the first image (reference
             # detect.py --visualize -> Model.forward(visualize=save_dir))
             from desenet_tpu.utils.plots import visualize_model_features
@@ -205,7 +219,8 @@ def run(
 
 def parse_opt(argv=None):
     p = argparse.ArgumentParser("desenet_tpu detect")
-    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--weights", type=str, nargs="+", required=True,
+                   help="checkpoint dir(s); >1 runs a joint-NMS ensemble")
     p.add_argument("--source", type=str, required=True)
     p.add_argument("--img-size", "--imgsz", type=int, default=640)
     p.add_argument("--conf-thres", type=float, default=0.25)

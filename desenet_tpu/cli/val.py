@@ -48,11 +48,26 @@ def run(
     calib_batches=2,
 ):
     data = check_dataset(data)
-    variables, meta = load_inference_variables(weights)
-    assert meta is not None, "checkpoint missing meta.json"
     dtype = jnp.bfloat16 if half else jnp.float32
-    model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
-                              se_nc=meta["se_nc"], dtype=dtype)
+    weights_list = ([weights] if isinstance(weights, (str, os.PathLike))
+                    else list(weights))
+    if len(weights_list) > 1:
+        # multi-checkpoint ensemble: joint NMS over concatenated decodes
+        # (reference val.py --weights nargs + -> attempt_load Ensemble,
+        # experimental.py:78-108)
+        assert not int8, "--int8 does not support ensembles"
+        from desenet_tpu.eval.ensemble import EnsembleModel, load_ensemble
+
+        members = load_ensemble(weights_list, dtype=dtype)
+        meta = members[0][2]
+        model = EnsembleModel([m for m, _, _ in members])
+        spec = model.spec
+        variables = tuple(v for _, v, _ in members)
+    else:
+        variables, meta = load_inference_variables(weights_list[0])
+        assert meta is not None, "checkpoint missing meta.json"
+        model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
+                                  se_nc=meta["se_nc"], dtype=dtype)
     imgsz = check_img_size(imgsz, s=max(spec.det_strides))
 
     if int8:
@@ -116,8 +131,6 @@ def run(
     # COCO-protocol mAP over the exported predictions (val.py:312-335);
     # pycocotools is vendored as eval/coco.py in this image.
     if save_json and save_dir:
-        import os
-
         anno = coco_anno or os.path.join(
             data.get("path", "../coco"), "annotations",
             "instances_val2017.json")
@@ -162,8 +175,9 @@ def run_speed(data, weights, batch_size=32, imgsz=640, half=True):
 def parse_opt(argv=None):
     p = argparse.ArgumentParser("desenet_tpu val")
     p.add_argument("--data", type=str, required=True)
-    p.add_argument("--weights", type=str, required=True,
-                   help="checkpoint dir")
+    p.add_argument("--weights", type=str, nargs="+", required=True,
+                   help="checkpoint dir(s); >1 runs a joint-NMS ensemble "
+                        "(reference attempt_load)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--img-size", "--imgsz", type=int, default=640)
     p.add_argument("--conf-thres", type=float, default=0.001)
@@ -207,12 +221,12 @@ def main(argv=None):
             os.path.join(o.project, o.name), exist_ok=o.exist_ok,
             mkdir=True))
     if o.task == "speed":
-        return run_speed(o.data, o.weights, o.batch_size, o.img_size,
+        return run_speed(o.data, o.weights[0], o.batch_size, o.img_size,
                          not o.no_half)
     if o.task == "study":
         out = {}
         for size in (256, 384, 512, 640):
-            out[size] = run_speed(o.data, o.weights, o.batch_size, size,
+            out[size] = run_speed(o.data, o.weights[0], o.batch_size, size,
                                   not o.no_half)
         print(json.dumps(out))
         return out

@@ -96,6 +96,22 @@ def test_validator_on_checkpoint(train_run, micro_root):
     assert np.isfinite(results["map50"])
 
 
+def test_val_cli_ensemble(train_run, micro_root):
+    """Multi-weights val: joint-NMS ensemble of last + best_stripped
+    (reference --weights nargs + -> attempt_load Ensemble)."""
+    from desenet_tpu.cli.val import run
+
+    sd = train_run["save_dir"]
+    results = run(
+        os.path.join(micro_root, "data.yaml"),
+        [os.path.join(sd, "last"), os.path.join(sd, "best_stripped")],
+        batch_size=4, imgsz=64, half=False, workers=2,
+    )
+    assert results["seen"] == 4
+    assert 0 <= results["miou"] <= 1
+    assert np.isfinite(results["map50"])
+
+
 def test_multiscale_and_image_weights(micro_root, tmp_path_factory):
     out = tmp_path_factory.mktemp("runs_ms")
     cfg = TrainConfig(

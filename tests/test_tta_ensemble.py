@@ -67,6 +67,50 @@ def test_ensemble_forward(model_vars):
     assert seg.shape == (1, 64, 64, model.spec.se_nc)
 
 
+def test_ensemble_model_through_validator(model_vars, rng):
+    """EnsembleModel duck-types the single model: a 2-member ensemble of the
+    SAME checkpoint must reproduce the single-model keep set exactly (the
+    duplicate candidates are IoU-1.0 suppressed) and the same seg argmax."""
+    from desenet_tpu.eval.ensemble import EnsembleModel
+    from desenet_tpu.eval.validator import Validator
+
+    model, variables = model_vars
+    ens = EnsembleModel([model, model])
+    img = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8))
+    tg = jnp.zeros((2, 8, 5), jnp.float32)
+    msk = jnp.zeros((2, 8), bool)
+
+    kw = dict(nc=model.spec.de_nc, se_nc=model.spec.se_nc, conf_thres=0.25)
+    nms1, seg1 = Validator(model, **kw)._eval_step((2, 64, 64, 3))(
+        variables, img, tg, msk)
+    nms2, seg2 = Validator(ens, **kw)._eval_step((2, 64, 64, 3))(
+        (variables, variables), img, tg, msk)
+
+    np.testing.assert_array_equal(np.asarray(nms1.num), np.asarray(nms2.num))
+    for si in range(2):
+        n = int(nms1.num[si])
+        np.testing.assert_allclose(np.asarray(nms1.boxes[si, :n]),
+                                   np.asarray(nms2.boxes[si, :n]),
+                                   rtol=1e-6, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(nms1.scores[si, :n]),
+                                   np.asarray(nms2.scores[si, :n]),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(seg1), np.asarray(seg2))
+
+
+def test_ensemble_model_tta(model_vars):
+    """TTA composes with the ensemble wrapper (model.spec / model.apply
+    duck-typing): shapes double along the anchor axis per member."""
+    from desenet_tpu.eval.ensemble import EnsembleModel
+
+    model, variables = model_vars
+    ens = EnsembleModel([model, model])
+    x = jnp.zeros((1, 64, 64, 3))
+    dec = forward_augment(ens, (variables, variables), x)
+    assert dec.shape[1] == 3 * 2 * 252
+    assert np.isfinite(np.asarray(dec)).all()
+
+
 def test_forward_augment_joint_seg(model_vars, rng):
     """Seg TTA: averaged logits come back on the input grid; with an
     lr-symmetric input the lr-flip variant contributes the same logits as
