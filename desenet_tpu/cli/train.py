@@ -7,9 +7,27 @@
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import os
 
 from desenet_tpu.train.engine import TrainConfig, train
 from desenet_tpu.utils.general import set_logging
+
+
+def _coerce_opt(v):
+    """Parse legacy stringified opt.yaml values back to python types (older
+    runs saved every field via str(); new runs save real types)."""
+    if isinstance(v, str):
+        if v == "None":
+            return None
+        if v in ("True", "False"):
+            return v == "True"
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+    return v
 
 
 def parse_opt(argv=None):
@@ -20,8 +38,10 @@ def parse_opt(argv=None):
     p.add_argument("--hyp", type=str, default=None, help="hyp yaml")
     p.add_argument("--weights", type=str, default="",
                    help="pretrain checkpoint dir")
-    p.add_argument("--resume", type=str, default="",
-                   help="checkpoint dir to resume")
+    p.add_argument("--resume", type=str, nargs="?", const=True, default="",
+                   help="checkpoint dir to resume; bare --resume finds the "
+                        "most recent run and restores its opt.yaml "
+                        "(reference train.py:538-547)")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--img-size", "--imgsz", type=int, default=640)
@@ -91,6 +111,27 @@ def parse_opt(argv=None):
 def main(argv=None):
     set_logging()
     o = parse_opt(argv)
+    overrides = None
+    if o.resume is True:
+        # bare --resume: find the most recent run and restore its options
+        # (reference train.py:538-547). An explicit --resume PATH keeps the
+        # CLI flags of THIS invocation (e.g. to extend --epochs).
+        import yaml
+
+        from desenet_tpu.utils.general import get_latest_run
+
+        o.resume = get_latest_run()
+        assert o.resume, "--resume: no previous run found under ./"
+        print(f"resuming most recent run: {o.resume}")
+        opt_yaml = os.path.join(os.path.dirname(os.path.abspath(o.resume)),
+                                "opt.yaml")
+        if os.path.isfile(opt_yaml):
+            with open(opt_yaml, encoding="utf-8") as f:
+                saved = yaml.safe_load(f) or {}
+            fields = {f.name for f in dataclasses.fields(TrainConfig)}
+            overrides = {k: _coerce_opt(v) for k, v in saved.items()
+                         if k in fields}
+            overrides.update(resume=o.resume, exist_ok=True)
     cfg = TrainConfig(
         data=o.data, cfg=o.cfg, hyp=o.hyp, weights=o.weights, resume=o.resume,
         epochs=o.epochs, batch_size=o.batch_size, imgsz=o.img_size,
@@ -109,6 +150,8 @@ def main(argv=None):
         freeze=o.freeze, entity=o.entity, bbox_interval=o.bbox_interval,
         artifact_alias=o.artifact_alias,
     )
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
     results = train(cfg)
     print(
         f"done: save_dir={results['save_dir']} "

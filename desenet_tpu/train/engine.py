@@ -131,7 +131,18 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     with open(os.path.join(save_dir, "hyp.yaml"), "w") as f:
         yaml.safe_dump(hyp, f)
     with open(os.path.join(save_dir, "opt.yaml"), "w") as f:
-        yaml.safe_dump({k: str(v) for k, v in vars(cfg).items()}, f)
+        # real types, so bare --resume can restore the run's options
+        # (reference train.py:538-547 reloads opt.yaml into the namespace);
+        # path-like fields are absolutized so resume works from any cwd
+        snap = {}
+        for k, v in vars(cfg).items():
+            if not isinstance(v, (str, int, float, bool, type(None))):
+                v = str(v)
+            if (k in ("data", "cfg", "hyp", "weights", "project")
+                    and isinstance(v, str) and os.path.exists(v)):
+                v = os.path.abspath(v)
+            snap[k] = v
+        yaml.safe_dump(snap, f)
 
     loggers = Loggers(save_dir, use_tb=cfg.use_tb)
     callbacks.auto_register(loggers)

@@ -82,6 +82,15 @@ def make_divisible(x, divisor=8):
     return int(math.ceil(x / divisor) * divisor)
 
 
+def get_latest_run(search_dir: str = ".") -> str:
+    """Most recent 'last' checkpoint dir under ``search_dir`` — the bare
+    ``--resume`` target (reference general.py:115-118 globs last*.pt; our
+    checkpoints are orbax dirs marked by meta.json)."""
+    metas = glob.glob(os.path.join(search_dir, "**", "last", "meta.json"),
+                      recursive=True)
+    return os.path.dirname(max(metas, key=os.path.getmtime)) if metas else ""
+
+
 def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False):
     """runs/exp -> runs/exp2, exp3... (general.py:858-872)."""
     path = Path(path)

@@ -69,6 +69,20 @@ def test_resume_continues(train_run, micro_root):
     assert lines[-1].startswith("2,")
 
 
+def test_bare_resume_cli(train_run, micro_root, monkeypatch):
+    """Bare --resume finds the most recent run under cwd and restores its
+    opt.yaml (reference train.py:538-547 + general.py get_latest_run). The
+    restored run is already at its final epoch, so this returns immediately
+    with the original save_dir."""
+    from desenet_tpu.cli import train as train_cli
+
+    sd = train_run["save_dir"]
+    monkeypatch.chdir(os.path.dirname(sd))
+    results = train_cli.main([
+        "--data", os.path.join(micro_root, "data.yaml"), "--resume"])
+    assert os.path.abspath(results["save_dir"]) == os.path.abspath(sd)
+
+
 def test_predictor_api(train_run, micro_root):
     from desenet_tpu.api import load_predictor
 
