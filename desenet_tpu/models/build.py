@@ -46,6 +46,10 @@ _SEG_HEADS = {"SegMaskLab", "SegMaskBase", "SegMaskPSP", "SegMaskPSP2",
               "SegMaskBiSe"}
 # seg heads with a native int8 path (quant.py); others dequantize at entry
 _QUANT_SEG_HEADS = {"SegMaskPSP", "SegMaskPSP2"}
+# minimum arg arity per module kind (width blocks default to 1: out-channels)
+_MIN_ARGS = {"nn.Upsample": 2, "Detect": 2, "Contract": 1, "Expand": 1,
+             "SegMaskLab": 1, "SegMaskBase": 1, "SegMaskPSP": 1,
+             "SegMaskPSP2": 1, "SegMaskBiSe": 1}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,13 +136,22 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
         fs = tuple(
             (x if x >= 0 else i + x) for x in (f if isinstance(f, list) else [f])
         )
+        if not fs:
+            raise ValueError(
+                f"row {i} ({mname}): 'from' must name at least one input "
+                f"layer, got {f!r}")
         for x in fs:
             if not (-1 <= x < i):
                 raise ValueError(
                     f"row {i} ({mname}): 'from' index {x} out of range — "
                     f"must reference the input (-1 relative / earlier layer "
                     f"0..{i - 1})")
-        n_out = _round_depth(int(n), gd)
+        n_rep_req = int(n)
+        if not 0 < n_rep_req <= 1000:
+            raise ValueError(
+                f"row {i} ({mname}): repeat count must be in 1..1000, "
+                f"got {n!r}")
+        n_out = _round_depth(n_rep_req, gd)
         args = list(args)
 
         # resolve symbolic args from the Parameters block (the reference
@@ -146,6 +159,12 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
         for j, a in enumerate(args):
             if isinstance(a, str) and a in cfg:
                 args[j] = cfg[a]
+        min_args = _MIN_ARGS.get(
+            mname, 1 if mname in _BLOCKS_WITH_WIDTH else 0)
+        if len(args) < min_args:
+            raise ValueError(
+                f"row {i} ({mname}): needs at least {min_args} arg(s), "
+                f"got {args!r}")
         if mname == "Detect" and args[0] == cfg.get("de_nc"):
             args[0] = de_nc
 
@@ -188,6 +207,9 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
             ), c2, stride, n_rep)
         elif mname == "nn.Upsample":
             scale = int(args[1])
+            if scale < 1:
+                raise ValueError(
+                    f"row {i} (nn.Upsample): scale must be >= 1, got {scale}")
             mode = args[2] if len(args) > 2 else "nearest"
             c2 = chs[fs[0] + 1]
             stride = in_stride // scale
@@ -200,10 +222,16 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
             spec = LayerSpec(i, fs, "BatchNorm", (), c2, in_stride)
         elif mname == "Contract":
             g = int(args[0])
+            if g < 1:
+                raise ValueError(
+                    f"row {i} (Contract): gain must be >= 1, got {g}")
             c2 = chs[fs[0] + 1] * g * g
             spec = LayerSpec(i, fs, "Contract", (g,), c2, in_stride * g)
         elif mname == "Expand":
             g = int(args[0])
+            if g < 1:
+                raise ValueError(
+                    f"row {i} (Expand): gain must be >= 1, got {g}")
             c2 = chs[fs[0] + 1] // (g * g)
             spec = LayerSpec(i, fs, "Expand", (g,), c2, in_stride // g)
         elif mname == "Detect":
@@ -211,6 +239,10 @@ def parse_config(cfg, ch: int = 3, nc: Optional[int] = None,
             det_strides = tuple(strides[x + 1] for x in fs)
             anc = args[1]
             if isinstance(anc, int):  # 'anchors: N' shorthand
+                if not 0 < anc <= 64:
+                    raise ValueError(
+                        f"row {i} (Detect): 'anchors: N' shorthand must have "
+                        f"0 < N <= 64 anchors per scale, got {anc}")
                 anc = [list(range(anc * 2))] * len(fs)
             anchors = anc
             c2 = 0
