@@ -464,6 +464,10 @@ class DeSeNet(nn.Module):
                     out = L.maybe_cat(inp) if splittable else jnp.concatenate(
                         inp, axis=-1)
             elif ls.name == "Detect":
+                # single-scale Detect: a lone 'from' index arrives as a bare
+                # tensor — the head expects one feature map per scale
+                if not isinstance(inp, (list, tuple)):
+                    inp = [inp]
                 out = self._mods[f"l{ls.i}"](inp, train=train)
                 det_out = out
             elif ls.name in _SEG_HEADS:

@@ -403,8 +403,12 @@ class DWConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # c1=0 (the compiler's default) derives the group count from the
+        # actual input like the reference's gcd(c1, c2) (common.py:59-62);
+        # gcd(0, c2) would demand c1 % c2 == 0 and reject e.g. 48ch -> 32ch
+        c1 = self.c1 or _sum_channels(x)
         return ConvBnAct(
-            self.c2, self.k, self.s, g=math.gcd(self.c1, self.c2),
+            self.c2, self.k, self.s, g=math.gcd(c1, self.c2),
             act=self.act, dtype=self.dtype, name="conv",
         )(x, train)
 
