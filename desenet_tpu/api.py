@@ -56,6 +56,56 @@ class Detections:
             out.append(o)
         return out
 
+    @property
+    def xyxyn(self) -> List[np.ndarray]:
+        """Boxes normalized by native image size (common.py:800-805)."""
+        out = []
+        for im, d in zip(self.imgs, self.xyxy):
+            h, w = im.shape[:2]
+            o = d.copy()
+            o[:, [0, 2]] /= w
+            o[:, [1, 3]] /= h
+            out.append(o)
+        return out
+
+    @property
+    def xywhn(self) -> List[np.ndarray]:
+        out = []
+        for im, d in zip(self.imgs, self.xywh):
+            h, w = im.shape[:2]
+            o = d.copy()
+            o[:, [0, 2]] /= w
+            o[:, [1, 3]] /= h
+            out.append(o)
+        return out
+
+    def pandas(self, kind: str = "xyxy"):
+        """Per-image DataFrames like the reference's Detections.pandas()
+        (common.py:855-865). kind in {xyxy, xyxyn, xywh, xywhn}."""
+        import pandas as pd
+
+        cols = {
+            "xyxy": ["xmin", "ymin", "xmax", "ymax"],
+            "xyxyn": ["xmin", "ymin", "xmax", "ymax"],
+            "xywh": ["xcenter", "ycenter", "width", "height"],
+            "xywhn": ["xcenter", "ycenter", "width", "height"],
+        }[kind]
+        frames = []
+        for d in getattr(self, kind):
+            recs = [[*r[:4], r[4], int(r[5]), self.names[int(r[5])]]
+                    for r in d]
+            frames.append(pd.DataFrame(
+                recs, columns=cols + ["confidence", "class", "name"]))
+        return frames
+
+    def tolist(self) -> List["Detections"]:
+        """Split into per-image Detections (common.py:867-875)."""
+        return [
+            Detections([self.imgs[i]], [self.xyxy[i]], [self.masks[i]],
+                       self.names, self.se_names, self.times)
+            for i in range(self.n)
+        ]
+
     def to_dicts(self) -> List[List[dict]]:
         recs = []
         for d in self.xyxy:
