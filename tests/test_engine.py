@@ -197,3 +197,24 @@ def test_detect_cli(train_run, micro_root, tmp_path_factory):
     assert any(f.endswith("_seg.jpg") for f in files)
     assert any(f.endswith(".jpg") and not f.endswith("_seg.jpg")
                for f in files)
+
+
+def test_val_speed_task(train_run, micro_root):
+    """--task speed: steady-state ms/image on the device (val.py:384-402
+    analog); must run and report a finite positive latency."""
+    from desenet_tpu.cli.val import run_speed
+
+    dt = run_speed(os.path.join(micro_root, "data.yaml"),
+                   os.path.join(train_run["save_dir"], "last"),
+                   batch_size=2, imgsz=64, half=False)
+    assert np.isfinite(dt) and dt > 0
+
+
+def test_show_seg_miou_cli(train_run, micro_root):
+    """Standalone seg-mIoU report (scripts/show_seg_mIoU.py analog)."""
+    from desenet_tpu.cli.show_seg_miou import run
+
+    miou = run(os.path.join(micro_root, "data.yaml"),
+               os.path.join(train_run["save_dir"], "last"),
+               batch_size=4, imgsz=64, half=False)
+    assert 0 <= miou <= 1
