@@ -80,6 +80,9 @@ RUNNER = textwrap.dedent(
     import logging, sys
     logging.disable(logging.CRITICAL)
     sys.path.insert(0, '.')
+    import PIL.Image
+    if not hasattr(PIL.Image, 'ANTIALIAS'):  # removed in Pillow 10
+        PIL.Image.ANTIALIAS = PIL.Image.LANCZOS
     import numpy as np
     import torch
     _orig_load = torch.load
