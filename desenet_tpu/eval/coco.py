@@ -98,7 +98,7 @@ class COCOEval:
             bool(g["ignore"]) or bool(g["iscrowd"])
             or not (area_rng[0] <= g["area"] <= area_rng[1])
             for g in gts
-        ])
+        ], dtype=bool)  # explicit: an empty list would default to float64
         # gt order: real gts first, ignored last (matching prefers real)
         g_order = np.argsort(g_ignore, kind="stable")
         gts = [gts[i] for i in g_order]

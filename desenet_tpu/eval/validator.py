@@ -288,6 +288,7 @@ class Validator:
             import json
             import os
 
+            os.makedirs(self.save_dir, exist_ok=True)
             with open(os.path.join(self.save_dir, "predictions.json"),
                       "w") as f:
                 json.dump(self.jdict, f)

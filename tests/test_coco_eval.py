@@ -131,3 +131,16 @@ def test_img_ids_filter():
     only1 = evaluate_coco(gt, preds, img_ids=[1], quiet=True)
     assert full[8] == pytest.approx(0.5)
     assert only1[1] == pytest.approx(1.0)
+
+
+def test_detection_in_gtless_category():
+    """A detection for a category with no gt anywhere must count as a pure
+    FP (regression: empty gt list produced a float g_ignore and crashed)."""
+    gt = make_gt([{"image_id": 1, "category_id": 1,
+                   "bbox": [0, 0, 10, 10], "area": 100, "iscrowd": 0}],
+                 cats=(1, 2))
+    stats = evaluate_coco(gt, [
+        det(1, 1, [0, 0, 10, 10], 0.9),   # perfect for cat 1
+        det(1, 2, [20, 20, 5, 5], 0.8),   # cat 2 has no gt at all
+    ], quiet=True)
+    assert np.isclose(stats[1], 1.0)  # cat 2 has no gt -> excluded from mean

@@ -218,3 +218,57 @@ def test_show_seg_miou_cli(train_run, micro_root):
                os.path.join(train_run["save_dir"], "last"),
                batch_size=4, imgsz=64, half=False)
     assert 0 <= miou <= 1
+
+
+def test_val_save_json_coco_end_to_end(train_run, micro_root, tmp_path):
+    """--save-json + --coco: full chain from val predictions to the vendored
+    COCOeval (reference val.py:312-335). Builds the ground-truth
+    instances.json from the micro dataset's DeLabels."""
+    import glob
+    import json
+
+    from PIL import Image
+
+    from desenet_tpu.cli.val import run
+
+    # dataset -> COCO gt (image_id = filename stem, like _append_json)
+    images, annos = [], []
+    aid = 1
+    for p in sorted(glob.glob(os.path.join(micro_root, "Images", "val",
+                                           "*.jpg"))):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        w, h = Image.open(p).size
+        images.append({"id": stem, "width": w, "height": h,
+                       "file_name": os.path.basename(p)})
+        lp = os.path.join(micro_root, "DeLabels", "val", stem + ".txt")
+        for line in open(lp).read().split("\n"):
+            if not line.strip():
+                continue
+            c, x, y, bw, bh = map(float, line.split())
+            annos.append({
+                "id": aid, "image_id": stem, "category_id": int(c),
+                "bbox": [(x - bw / 2) * w, (y - bh / 2) * h, bw * w, bh * h],
+                "area": bw * w * bh * h, "iscrowd": 0,
+            })
+            aid += 1
+    gt = {"images": images, "annotations": annos,
+          "categories": [{"id": i} for i in range(3)]}
+    anno_path = str(tmp_path / "instances_val.json")
+    with open(anno_path, "w") as f:
+        json.dump(gt, f)
+
+    save_dir = str(tmp_path / "valout")
+    results = run(
+        os.path.join(micro_root, "data.yaml"),
+        os.path.join(train_run["save_dir"], "last"),
+        batch_size=4, imgsz=64, half=False, workers=2,
+        save_json=True, save_dir=save_dir, coco_anno=anno_path,
+    )
+    pred_json = os.path.join(save_dir, "predictions.json")
+    assert os.path.isfile(pred_json)
+    with open(pred_json) as f:
+        preds = json.load(f)
+    assert all({"image_id", "category_id", "bbox", "score"} <= set(r)
+               for r in preds)
+    # run() folds the COCO-protocol AP back into results
+    assert np.isfinite(results["map50"]) and np.isfinite(results["map"])
