@@ -99,7 +99,9 @@ class LoadStreams:
         self.img_size = img_size
         self.stride = stride
         self.auto = auto
-        if os.path.isfile(sources):
+        if os.path.isfile(sources) and sources.lower().endswith(".txt"):
+            # a *.txt file lists one stream url per line (streams.txt);
+            # any other existing file (e.g. an .mp4) is itself the stream
             with open(sources) as f:
                 sources = [x.strip() for x in f if x.strip()]
         else:
