@@ -60,9 +60,12 @@ def run(
     visualize=False,
 ):
     save_img = not nosave
-    webcam = str(source).isnumeric() or str(source).lower().startswith(
-        ("rtsp://", "rtmp://", "http://", "https://")
-    )
+    # webcam index / stream urls / a *.txt list of stream urls all take the
+    # threaded LoadStreams path (reference detect.py:128-135)
+    webcam = (str(source).isnumeric()
+              or str(source).lower().endswith(".txt")
+              or str(source).lower().startswith(
+                  ("rtsp://", "rtmp://", "http://", "https://")))
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok)
     (save_dir / "labels" if save_txt else save_dir).mkdir(parents=True,
                                                           exist_ok=True)

@@ -47,3 +47,39 @@ def test_stream_sources_file(clip, tmp_path):
     assert len(s) == 2
     _, imgs, im0, _ = next(iter(s))
     assert imgs.shape[0] == 2 and len(im0) == 2
+
+
+def test_detect_cli_stream_txt(clip, tmp_path):
+    """detect CLI on a streams.txt source: threaded LoadStreams feed, per-
+    stream annotated video outputs (reference detect.py:128-135, 256-268)."""
+    import glob as _glob
+
+    lst = tmp_path / "streams.txt"
+    lst.write_text(f"{clip}\n")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_fake_dataset import generate
+
+    from desenet_tpu.cli.detect import run as detect_run
+    from desenet_tpu.train.engine import TrainConfig, train
+
+    root = tmp_path / "ds"
+    generate(str(root), n_train=4, n_val=2, size=96, seed=3)
+    res = train(TrainConfig(
+        data=str(root / "data.yaml"),
+        cfg=os.path.join(os.path.dirname(__file__), "configs",
+                         "tiny_psp2.yaml"),
+        epochs=1, batch_size=2, imgsz=64, workers=1, project=str(tmp_path),
+        name="t", exist_ok=True, dtype="float32", nbs=2, warmup_floor=2,
+        noautoanchor=True, use_tb=False, max_targets=16, noval=True,
+    ))
+    save_dir = detect_run(
+        os.path.join(res["save_dir"], "last"), str(lst),
+        imgsz=64, conf_thres=0.25, half=False,
+        project=str(tmp_path / "det"), name="s", exist_ok=True,
+    )
+    vids = _glob.glob(os.path.join(save_dir, "*.mp4"))
+    assert vids, f"no stream video written in {save_dir}"
