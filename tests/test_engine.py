@@ -272,3 +272,52 @@ def test_val_save_json_coco_end_to_end(train_run, micro_root, tmp_path):
                for r in preds)
     # run() folds the COCO-protocol AP back into results
     assert np.isfinite(results["map50"]) and np.isfinite(results["map"])
+
+
+def test_export_stablehlo_roundtrip(train_run, tmp_path):
+    """Serving export (tools/export_model.py, the reference's ONNX/TF
+    backend replacement): serialize the full inference program, deserialize
+    it fresh, and check it reproduces the live model's outputs."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import export_model
+
+    out = str(tmp_path / "model.stablehlo")
+    export_model.main([
+        os.path.join(train_run["save_dir"], "last"), out,
+        "--batch", "1", "--img-size", "64", "--fp32",
+    ])
+    assert os.path.getsize(out) > 1000
+    with open(out + ".json") as f:
+        import json
+        meta = json.load(f)
+    assert meta["img_size"] == 64
+
+    exp = jexport.deserialize(open(out, "rb").read())
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3), np.uint8))
+    boxes, scores, classes, num, seg = exp.call(img)
+    assert boxes.shape[0] == 1 and boxes.shape[2] == 4
+    assert seg.shape == (1, 64, 64) and seg.dtype == jnp.uint8
+
+    # parity with the live program
+    from desenet_tpu.models import build_model, config_path
+    from desenet_tpu.ops import non_max_suppression
+    from desenet_tpu.utils.checkpoint import load_inference_variables
+
+    variables, m = load_inference_variables(
+        os.path.join(train_run["save_dir"], "last"))
+    model, _ = build_model(config_path(m["cfg"]), nc=m["de_nc"],
+                           se_nc=m["se_nc"], dtype=jnp.float32)
+    (dec, _), segl = model.apply(variables, img.astype(jnp.float32) / 255.0,
+                                 train=False)
+    ref = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
+                              max_det=300, pre_topk=1024, backend="xla")
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(ref.boxes),
+                               atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(seg), np.asarray(jnp.argmax(segl, -1).astype(jnp.uint8)))

@@ -16,7 +16,7 @@ import argparse
 import json
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("weights_dir")
     ap.add_argument("out_path")
@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--platform", default=None,
                     help="lowering platform (tpu/cpu/cuda); default = current")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
