@@ -105,6 +105,7 @@ def run(
         nms = non_max_suppression(
             dec, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
             pre_topk=2048, agnostic=agnostic_nms,
+            classes=tuple(classes) if classes is not None else None,
         )
         seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
         return nms, seg_cls
@@ -150,8 +151,9 @@ def run(
                 [boxes[si, :n], scores[si, :n, None], cls_ids[si, :n, None]],
                 axis=1,
             )
-            if classes is not None and n:
-                det = det[np.isin(det[:, 5].astype(int), classes)]
+            # class filtering happens inside NMS (reference general.py:712
+            # semantics: before suppression, so excluded classes don't eat
+            # the candidate/max_det budget)
             if len(det):
                 np_scale_coords(img.shape[1:3], det[:, :4], im0.shape[:2])
 

@@ -86,17 +86,25 @@ def _greedy_nms(boxes, scores, iou_thres, max_det):
     return keep_idx, keep_ok
 
 
-def _prep_candidates(pred, conf_thres, pre_topk, multi_label, nc):
+def _prep_candidates(pred, conf_thres, pre_topk, multi_label, nc,
+                     classes=None):
     """Per-image candidate selection: (A, 5+nc) -> top (K,4)/(K,)/(K,)."""
     obj = pred[:, 4]
     cand = obj > conf_thres  # general.py:668
     box = xywh2xyxy(pred[:, :4])  # (A,4)
     cls_conf = pred[:, 5:] * obj[:, None]  # conf = obj * cls (general.py:703)
+    # class filter BEFORE suppression like the reference (general.py:712):
+    # multi-label drops the (anchor, class) pair; single-label drops the row
+    # when its best class is excluded (best is computed over ALL classes)
+    allowed = None
+    if classes is not None:
+        allowed = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
 
     if multi_label and nc > 1:
-        scores_mat = jnp.where(
-            cand[:, None] & (cls_conf > conf_thres), cls_conf, -1.0
-        )  # (A, nc)
+        keep = cand[:, None] & (cls_conf > conf_thres)
+        if allowed is not None:
+            keep = keep & allowed[None, :]
+        scores_mat = jnp.where(keep, cls_conf, -1.0)  # (A, nc)
         flat_scores = scores_mat.reshape(-1)
         # approx_max_k(recall=1.0) returns the exact top-k SET via TPU
         # PartialReduce, ~15% faster than the sort-based top_k (keep-set
@@ -108,8 +116,12 @@ def _prep_candidates(pred, conf_thres, pre_topk, multi_label, nc):
         top_boxes = box[anchor_idx]
     else:
         best_conf = jnp.max(cls_conf, axis=1)
-        best_cls = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
-        scores = jnp.where(cand & (best_conf > conf_thres), best_conf, -1.0)
+        best_cls_i = jnp.argmax(cls_conf, axis=1)
+        best_cls = best_cls_i.astype(jnp.float32)
+        row_ok = cand & (best_conf > conf_thres)
+        if allowed is not None:
+            row_ok = row_ok & allowed[best_cls_i]
+        scores = jnp.where(row_ok, best_conf, -1.0)
         top_scores, anchor_idx = jax.lax.approx_max_k(scores, pre_topk,
                                                       recall_target=1.0)
         cls_idx = best_cls[anchor_idx]
@@ -154,6 +166,7 @@ def non_max_suppression(
     pre_topk: int = PRE_TOPK_PRODUCTION,
     multi_label: bool = False,
     agnostic: bool = False,
+    classes=None,  # static sequence of allowed class ids (general.py:712)
     backend: str = "auto",
 ) -> NMSOutput:
     """Batched fixed-shape NMS.
@@ -177,6 +190,7 @@ def non_max_suppression(
         prep = functools.partial(
             _prep_candidates, conf_thres=conf_thres, pre_topk=k_s,
             multi_label=multi_label, nc=nc,
+            classes=tuple(classes) if classes is not None else None,
         )
         per_scale.append(jax.vmap(prep)(p.astype(jnp.float32)))
     if len(per_scale) == 1:

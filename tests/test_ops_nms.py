@@ -216,3 +216,43 @@ def test_scale_local_prefilter_matches_concat():
             ka = {tuple(np.round(v, 3)) for v in np.asarray(a.boxes[i][:n])}
             kb = {tuple(np.round(v, 3)) for v in np.asarray(b.boxes[i][:n])}
             assert ka == kb
+
+
+def test_classes_filter_pre_nms(rng):
+    """classes= filters BEFORE suppression like the reference
+    (general.py:712): excluded-class rows never enter the candidate set, so
+    they cannot consume pre_topk/max_det budget; single-label semantics drop
+    a row whose BEST class is excluded (not re-argmax over allowed)."""
+    from desenet_tpu.ops import non_max_suppression
+
+    a = 64
+    pred = np.zeros((1, a, 5 + 3), np.float32)
+    pred[0, :, 0] = np.linspace(20, 600, a)  # spread: no cross-suppression
+    pred[0, :, 1] = 50
+    pred[0, :, 2:4] = 20
+    pred[0, :, 4] = 0.9
+    pred[0, :, 5] = 0.8  # class 0 best everywhere...
+    pred[0, :, 6] = 0.6  # ...class 1 second (also above conf)
+    pred[0, ::2, 7] = 0.85  # half the rows: class 2 best
+
+    out = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                              iou_thres=0.45, max_det=64, backend="xla",
+                              classes=(2,))
+    n = int(out.num[0])
+    assert n == a // 2  # only rows whose best class is 2
+    assert np.all(np.asarray(out.classes[0, :n]) == 2)
+
+    # single-label: best class 0 excluded -> row dropped entirely, not
+    # reassigned to the allowed class 1
+    out01 = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                                iou_thres=0.45, max_det=64, backend="xla",
+                                classes=(1,))
+    assert int(out01.num[0]) == 0
+
+    # multi-label: the (anchor, class 1) pairs survive a class-1 filter
+    outml = non_max_suppression(jnp.asarray(pred), conf_thres=0.25,
+                                iou_thres=0.45, max_det=64, backend="xla",
+                                classes=(1,), multi_label=True)
+    nm = int(outml.num[0])
+    assert nm == a
+    assert np.all(np.asarray(outml.classes[0, :nm]) == 1)
