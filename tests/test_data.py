@@ -183,3 +183,43 @@ def test_quad_loader(fake_root):
         assert b["image"].shape[0] == 2  # 8 // 4
         assert b["image"].shape[1:3] == (320, 320)
         assert b["seg_labels"].shape[1:] == (320, 320)
+
+
+def test_corrupt_samples_skipped(tmp_path):
+    """Corrupt images/labels are skipped with a message, never crash the
+    pipeline, and the usable subset trains/loads (verify_image_label
+    semantics, mixed_datasets.py:921-973)."""
+    root = tmp_path / "corrupt"
+    generate(str(root), n_train=8, n_val=2, size=96, seed=7)
+    tr = root / "Images" / "train"
+    de = root / "DeLabels" / "train"
+    se = root / "SeLabels" / "train"
+
+    # 1: truncated JPEG
+    p = tr / "img_0000.jpg"
+    p.write_bytes(p.read_bytes()[:200])
+    # 2: not an image at all
+    (tr / "img_0001.jpg").write_bytes(b"definitely not a jpeg")
+    # 3: det row with 6 columns
+    (de / "img_0002.txt").write_text("0 0.5 0.5 0.2 0.2 0.9\n")
+    # 4: unnormalized det coords
+    (de / "img_0003.txt").write_text("0 50 50 20 20\n")
+    # 5: negative det value
+    (de / "img_0004.txt").write_text("0 -0.1 0.5 0.2 0.2\n")
+    # 6: duplicate det rows
+    (de / "img_0005.txt").write_text("1 0.5 0.5 0.2 0.2\n1 0.5 0.5 0.2 0.2\n")
+    # 7: odd-length polygon
+    (se / "img_0006.txt").write_text("1 0.1 0.1 0.9\n")
+
+    ds = MixedDataset(str(tr), img_size=96, augment=False)
+    assert len(ds) == 1  # only img_0007 survives
+    img, det, seg, path, shapes = ds.get_sample(0)
+    assert img.shape[-1] == 3 and "img_0007" in path
+
+    # empty det txt is 'empty', not corrupt: image stays usable (the size
+    # change invalidates the label cache via get_hash, no manual delete)
+    (de / "img_0007.txt").write_text("")
+    ds2 = MixedDataset(str(tr), img_size=96, augment=False)
+    assert len(ds2) == 1
+    _, det2, _, _, _ = ds2.get_sample(0)
+    assert len(det2) == 0  # no boxes, still usable
