@@ -138,15 +138,16 @@ class Detections:
         return save_dir
 
     def crop(self, save_dir: str = "runs/predict/crops"):
+        from desenet_tpu.utils.general import save_one_box
+
         os.makedirs(save_dir, exist_ok=True)
         k = 0
         for im, d in zip(self.imgs, self.xyxy):
             for *xyxy, conf, c in d:
-                x1, y1, x2, y2 = (int(v) for v in xyxy)
-                cv2.imwrite(
-                    os.path.join(save_dir,
-                                 f"{self.names[int(c)]}_{k}.jpg"),
-                    im[y1:y2, x1:x2],
+                save_one_box(
+                    xyxy, im,
+                    file=os.path.join(save_dir,
+                                      f"{self.names[int(c)]}_{k}.jpg"),
                 )
                 k += 1
         return save_dir

@@ -176,11 +176,14 @@ def run(
                     with open(save_dir / "labels" / f"{p.stem}.txt", "a") as f:
                         f.write(" ".join(f"{v:g}" for v in line) + "\n")
                 if save_crop:
+                    # reference detect.py:231 -> save_one_box (padded,
+                    # image-bounds-clipped crop)
+                    from desenet_tpu.utils.general import save_one_box
+
                     crop_dir = save_dir / "crops" / names[c]
                     crop_dir.mkdir(parents=True, exist_ok=True)
-                    x1, y1, x2, y2 = (int(v) for v in xyxy)
-                    cv2.imwrite(str(crop_dir / f"{p.stem}.jpg"),
-                                im0[y1:y2, x1:x2])
+                    save_one_box(xyxy, im0,
+                                 file=str(crop_dir / f"{p.stem}.jpg"))
 
             im_out = ann.result()
             # seg: argmax mask at network res -> nearest to native res

@@ -1,6 +1,7 @@
 """Detections container parity with the reference result object
 (common.py:784-882): coordinate variants, pandas frames, tolist split."""
 
+import os
 import numpy as np
 
 from desenet_tpu.api import Detections
@@ -48,3 +49,22 @@ def test_tolist_split():
     assert len(parts) == 2 and all(len(p) == 1 for p in parts)
     assert len(parts[0].xyxy[0]) == 2 and len(parts[1].xyxy[0]) == 0
     assert "2 images" in repr(dets)
+
+
+def test_crop_clips_out_of_bounds(tmp_path):
+    """Boxes extending past image bounds crop the clipped region (the
+    reference save_one_box pads then clips; a raw negative index would
+    silently wrap)."""
+    import cv2
+
+    img = np.full((100, 200, 3), 255, np.uint8)
+    d = np.array([[-30.0, -20.0, 50.0, 40.0, 0.9, 0]], np.float32)
+    dets = Detections([img], [d], [np.zeros((100, 200), np.uint8)],
+                      names=["a"], se_names=["bg"])
+    out = dets.crop(str(tmp_path / "crops"))
+    files = os.listdir(out)
+    assert len(files) == 1
+    crop = cv2.imread(os.path.join(out, files[0]))
+    assert crop is not None and crop.size > 0
+    h, w = crop.shape[:2]
+    assert 0 < w <= 62 and 0 < h <= 52  # clipped at 0, padded past 50/40
