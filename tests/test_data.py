@@ -223,3 +223,28 @@ def test_corrupt_samples_skipped(tmp_path):
     assert len(ds2) == 1
     _, det2, _, _, _ = ds2.get_sample(0)
     assert len(det2) == 0  # no boxes, still usable
+
+
+def test_loader_worker_count_invariance(fake_root):
+    """Batches are bit-identical regardless of worker-thread count — the
+    per-(seed, epoch, index) RNG means no hidden shared state races
+    (replaces the reference's global random soup, SURVEY §5.2)."""
+    hyp = dict(mosaic=1.0, degrees=5, translate=0.1, scale=0.2, shear=2,
+               hsv_h=0.05, hsv_s=0.2, hsv_v=0.1, flipud=0.2, fliplr=0.5)
+
+    def batches(workers):
+        loader, _ = create_mixed_dataloader(
+            os.path.join(fake_root, "Images", "train"), img_size=160,
+            batch_size=4, augment=True, hyp=hyp, workers=workers,
+            max_targets=16, seed=11,
+        )
+        loader.set_epoch(1)
+        return list(loader)
+
+    a, b = batches(1), batches(6)
+    assert len(a) == len(b) > 0
+    for ba, bb in zip(a, b):
+        assert ba["paths"] == bb["paths"]
+        np.testing.assert_array_equal(ba["image"], bb["image"])
+        np.testing.assert_array_equal(ba["det_targets"], bb["det_targets"])
+        np.testing.assert_array_equal(ba["seg_labels"], bb["seg_labels"])
