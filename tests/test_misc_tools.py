@@ -37,3 +37,37 @@ def test_sweep_print_config(capsys):
     cfg = main(["--print-config"])
     assert cfg["metric"]["name"] == "val/fitness"
     assert "lr0" in cfg["parameters"]
+
+
+def test_local_sweep(tmp_path):
+    """--local N random-search sweep: trials train, evolve.csv accumulates,
+    hyp_evolve.yaml keeps the best row (zero-egress replacement for the
+    wandb agent; bookkeeping = reference general.py:769-805)."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_fake_dataset import generate
+
+    from desenet_tpu.cli.sweep import main
+
+    root = tmp_path / "ds"
+    generate(str(root), n_train=4, n_val=2, size=96, seed=2)
+    proj = str(tmp_path / "sweep")
+    extra = _json.dumps(dict(dtype="float32", nbs=2, warmup_floor=2,
+                             noautoanchor=True, max_targets=16, workers=1,
+                             noval=True))
+    best_fi, best_hyp = main([
+        "--local", "2", "--data", str(root / "data.yaml"),
+        "--cfg", os.path.join(os.path.dirname(__file__), "configs",
+                              "tiny_psp2.yaml"),
+        "--epochs", "1", "--batch-size", "2", "--img-size", "64",
+        "--project", proj, "--train-kwargs", extra,
+    ])
+    assert best_hyp is not None and "lr0" in best_hyp
+    evolve = os.path.join(proj, "evolve.csv")
+    assert os.path.isfile(evolve)
+    assert len(open(evolve).read().strip().splitlines()) == 3  # header + 2
+    assert os.path.isfile(os.path.join(proj, "hyp_evolve.yaml"))
