@@ -21,6 +21,7 @@ from desenet_tpu.data import create_mixed_dataloader
 from desenet_tpu.eval.validator import Validator
 from desenet_tpu.models import build_model, config_path
 from desenet_tpu.utils.checkpoint import load_inference_variables
+from desenet_tpu.utils.general import coco80_to_coco91_class
 from desenet_tpu.utils.general import check_dataset, check_img_size, set_logging
 
 
@@ -47,6 +48,10 @@ def run(
     int8=False,
     calib_batches=2,
 ):
+    # COCO-protocol exports need the sparse 91-id category space when the
+    # dataset is real COCO (reference val.py:204: class_map =
+    # coco80_to_coco91_class() if is_coco else identity)
+    is_coco = str(data).endswith("coco.yaml")
     data = check_dataset(data)
     dtype = jnp.bfloat16 if half else jnp.float32
     weights_list = ([weights] if isinstance(weights, (str, os.PathLike))
@@ -108,6 +113,7 @@ def run(
         save_dir=save_dir, names=names, augment=augment,
         save_txt=save_txt, save_conf=save_conf, save_json=save_json,
         save_hybrid=save_hybrid,
+        class_map=(coco80_to_coco91_class() if is_coco else None),
     )
     if save_hybrid:
         print("WARNING: --save-hybrid returns high mAP from hybrid "

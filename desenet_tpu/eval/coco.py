@@ -86,12 +86,33 @@ class COCOEval:
         for p in preds:
             self.dets[(p["image_id"], p["category_id"])].append(p)
         self._eval_imgs = {}
+        self._iou_cache = {}
         self.stats = None
 
     # -- per-image matching ------------------------------------------------
-    def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
+    def _img_cat_base(self, img_id, cat_id, max_det):
+        """Area-range-independent work, computed once per (img, cat): score-
+        sorted detections and their IoU matrix vs gts in ORIGINAL gt order
+        (pycocotools computeIoU does the same hoisting)."""
+        key = (img_id, cat_id, max_det)
+        hit = self._iou_cache.get(key)
+        if hit is not None:
+            return hit
         gts = self.gt.anns.get((img_id, cat_id), [])
         dts = self.dets.get((img_id, cat_id), [])
+        d_order = np.argsort([-d["score"] for d in dts], kind="stable")
+        dts = [dts[i] for i in d_order][:max_det]
+        g_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
+        d_boxes = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
+        iscrowd0 = [bool(g["iscrowd"]) for g in gts]
+        ious0 = box_iou_xywh(d_boxes, g_boxes, iscrowd0)
+        hit = (gts, dts, d_boxes, iscrowd0, ious0)
+        self._iou_cache[key] = hit
+        return hit
+
+    def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
+        gts, dts, d_boxes, iscrowd0, ious0 = self._img_cat_base(
+            img_id, cat_id, max_det)
         if not gts and not dts:
             return None
         g_ignore = np.array([
@@ -99,18 +120,13 @@ class COCOEval:
             or not (area_rng[0] <= g["area"] <= area_rng[1])
             for g in gts
         ], dtype=bool)  # explicit: an empty list would default to float64
-        # gt order: real gts first, ignored last (matching prefers real)
+        # gt order: real gts first, ignored last (matching prefers real);
+        # the cached IoU columns are permuted to match
         g_order = np.argsort(g_ignore, kind="stable")
         gts = [gts[i] for i in g_order]
         g_ignore = g_ignore[g_order]
-
-        d_order = np.argsort([-d["score"] for d in dts], kind="stable")
-        dts = [dts[i] for i in d_order][:max_det]
-
-        g_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
-        d_boxes = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
-        iscrowd = [bool(g["iscrowd"]) for g in gts]
-        ious = box_iou_xywh(d_boxes, g_boxes, iscrowd)
+        iscrowd = [iscrowd0[i] for i in g_order]
+        ious = ious0[:, g_order] if len(gts) else ious0
 
         T, D, G = len(IOU_THRS), len(dts), len(gts)
         dt_m = np.zeros((T, D), dtype=np.int64)  # 1+gt index or 0

@@ -14,7 +14,7 @@ of the reference is reported as host-staging / device-step / host-metrics.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ import numpy as np
 
 from desenet_tpu.data import create_mixed_dataloader
 from desenet_tpu.ops import non_max_suppression
-from desenet_tpu.ops.boxes import xywh2xyxy as jx_xywh2xyxy
 from desenet_tpu.utils.metrics import (
     ConfusionMatrix,
     SegMetrics,
@@ -78,6 +77,8 @@ class Validator:
         save_conf: bool = False,
         save_json: bool = False,
         save_hybrid: bool = False,
+        class_map: Optional[Sequence[int]] = None,  # model idx -> exported
+        # COCO category_id (reference val.py:204: coco91 map for real COCO)
     ):
         self.model = model
         self.nc = nc
@@ -100,6 +101,7 @@ class Validator:
         # val.py:226-230 `lb` -> general.py nms labels path). Metrics are
         # NOT meaningful with hybrid on (reference prints the same caveat).
         self.save_hybrid = save_hybrid
+        self.class_map = list(class_map) if class_map is not None else None
         self.iouv = np.linspace(0.5, 0.95, 10)
         self._step_cache = {}
 
@@ -176,9 +178,11 @@ class Validator:
         stem = os.path.splitext(os.path.basename(str(path)))[0]
         image_id = int(stem) if stem.isnumeric() else stem
         for *xyxy, conf, cls in predn.tolist():
+            cid = (self.class_map[int(cls)] if self.class_map is not None
+                   else int(cls))
             self.jdict.append({
                 "image_id": image_id,
-                "category_id": int(cls),
+                "category_id": cid,
                 "bbox": [round(xyxy[0], 3), round(xyxy[1], 3),
                          round(xyxy[2] - xyxy[0], 3),
                          round(xyxy[3] - xyxy[1], 3)],

@@ -110,7 +110,11 @@ def resize_nearest(x: jax.Array, out_hw) -> jax.Array:
     if (h_in, w_in) == (h_out, w_out):
         return x
     if h_out % h_in == 0 and w_out % w_in == 0:
-        return upsample_nearest(x, h_out // h_in)
+        # per-axis integer factors (they differ on non-square rect shapes)
+        sy, sx = h_out // h_in, w_out // w_in
+        y = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (n, h_in, sy, w_in, sx, c))
+        return y.reshape(n, h_out, w_out, c)
     hi = np.minimum(np.arange(h_out) * h_in // h_out, h_in - 1)
     wi = np.minimum(np.arange(w_out) * w_in // w_out, w_in - 1)
     return x[:, hi][:, :, wi]

@@ -12,6 +12,7 @@ early stop} -> final strip.
 from __future__ import annotations
 
 import logging
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -309,11 +310,14 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     warmup_iters = max(round(hyp["warmup_epochs"] * nb), cfg.warmup_floor)
 
     n_avail = len(jax.devices()) if cfg.n_devices is None else cfg.n_devices
-    n_dev = next(d for d in range(min(n_avail, cfg.batch_size), 0, -1)
-                 if cfg.batch_size % d == 0)
+    # --quad collate emits batch_size//4 images per batch (collate_quad);
+    # device count must divide the EFFECTIVE per-batch image count
+    eff_bs = cfg.batch_size // 4 if cfg.quad else cfg.batch_size
+    n_dev = next(d for d in range(min(n_avail, eff_bs), 0, -1)
+                 if eff_bs % d == 0)
     if n_dev != n_avail:
         LOGGER.info("using %d of %d devices (batch %d divisibility)", n_dev,
-                    n_avail, cfg.batch_size)
+                    n_avail, eff_bs)
     mesh = make_mesh(n_dev)
     _mesh_holder["mesh"] = mesh
 
@@ -368,32 +372,40 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
             iw = labels_to_image_weights(train_ds.det_labels, de_nc,
                                          class_weights)
             train_ds.resample(iw + 1e-9, ms_rng)
-        mloss = np.zeros(4)  # box, obj, cls, seg running means
         # Per-batch device scalars buffered without syncing; reduced in a
         # single stacked op at log ticks so mloss is a true running mean
         # over ALL batches (reference updates mloss every batch) while the
         # loop stays free of per-batch host round-trips.
         loss_hist = []
+        mloss_sum = np.zeros(4, np.float64)
+        mloss_n = 0
+        mloss = np.zeros(4, np.float64)  # box, obj, cls, seg running means
         t_ep = time.time()
         for i, batch in enumerate(train_loader):
             batch.pop("paths", None)
             batch.pop("shapes", None)
             already_staged = not isinstance(batch["image"], np.ndarray)
             if cfg.multi_scale:
-                # random 0.5-1.5x size, stride-multiple buckets
-                # (train.py:343-348); one jit specialization per bucket
+                # random 0.5-1.5x size, stride-multiple buckets, ASPECT-
+                # PRESERVING per-dim scale like the reference (train.py:
+                # 343-348: sf = sz/max(shape), ns = ceil(dim*sf/gs)*gs);
+                # one jit specialization per bucket
                 sz = (int(ms_rng.uniform(0.5, 1.5) * imgsz) // stride_max
                       ) * stride_max
-                if sz != batch["image"].shape[1]:
+                h, w = batch["image"].shape[1:3]
+                sf = sz / max(h, w)
+                nh = int(math.ceil(h * sf / stride_max) * stride_max)
+                nw = int(math.ceil(w * sf / stride_max) * stride_max)
+                if (nh, nw) != (h, w):
                     import cv2 as _cv2
 
                     batch["image"] = np.stack([
-                        _cv2.resize(im, (sz, sz),
+                        _cv2.resize(im, (nw, nh),
                                     interpolation=_cv2.INTER_LINEAR)
                         for im in batch["image"]
                     ])
                     batch["seg_labels"] = np.stack([
-                        _cv2.resize(m.astype(np.uint8), (sz, sz),
+                        _cv2.resize(m.astype(np.uint8), (nw, nh),
                                     interpolation=_cv2.INTER_NEAREST)
                         for m in batch["seg_labels"]
                     ]).astype(np.int32)
@@ -404,10 +416,15 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
             loss_hist.append((metrics["lbox"], metrics["lobj"],
                               metrics["lcls"], metrics["lseg"]))
             if (i + 1) % max(nb // 4, 1) == 0 or i == nb - 1:
+                # fold only the new per-batch device scalars into a running
+                # host-side (sum, n) — O(tick) work and O(1) live buffers
+                # instead of restacking the whole epoch history
                 flat = jnp.stack([s for v in loss_hist for s in v])
-                mloss = np.asarray(
-                    flat.reshape(len(loss_hist), 4).mean(axis=0), np.float64
-                )
+                mloss_sum += np.asarray(
+                    flat.reshape(len(loss_hist), 4), np.float64).sum(axis=0)
+                mloss_n += len(loss_hist)
+                loss_hist.clear()
+                mloss = mloss_sum / max(mloss_n, 1)
                 LOGGER.info(
                     "epoch %d/%d batch %d/%d  box %.4f obj %.4f cls %.4f "
                     "seg %.4f  lr %.5f",

@@ -119,3 +119,23 @@ def test_classify_head():
     v = m.init(jax.random.PRNGKey(0), x)
     y = m.apply(v, x)
     assert y.shape == (2, 10)
+
+
+def test_nonsquare_forward_all_heads():
+    """Non-square (rect val) input shapes through seg heads with global
+    branches (regression: resize_nearest's square-factor fast path broke
+    every non-square forward through GlobalBranch)."""
+    import os
+
+    from desenet_tpu.models import build_model, init_model
+
+    cfgdir = os.path.join(os.path.dirname(__file__), "configs")
+    for cfg in ("tiny_psp2.yaml", "tiny_psp.yaml"):
+        path = os.path.join(cfgdir, cfg)
+        if not os.path.exists(path):
+            continue
+        m, s = build_model(path)
+        v = init_model(m, jax.random.PRNGKey(0), img_size=64)
+        (dec, _), seg = m.apply(v, jnp.ones((1, 96, 64, 3)), train=False)
+        assert seg.shape[1:3] == (96, 64)
+        assert np.all(np.isfinite(np.asarray(dec, np.float32)))

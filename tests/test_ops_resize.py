@@ -69,3 +69,25 @@ def test_max_pool_same_matches_torch(rng, k):
     exp = to_np(F.max_pool2d(to_torch(x), kernel_size=k, stride=1, padding=k // 2))
     got = np.asarray(max_pool_same(jnp.asarray(x), k))
     np.testing.assert_allclose(got, exp)
+
+
+def test_resize_nearest_unequal_integer_factors():
+    """Per-axis integer upsample factors (regression: the fast path assumed
+    square scaling and returned (h_out, h_out) — crashed every non-square
+    rect-val forward through the seg heads' GlobalBranch)."""
+    import numpy as np
+
+    from desenet_tpu.ops.resize import resize_nearest
+
+    x = jnp.arange(2 * 3, dtype=jnp.float32).reshape(1, 2, 3, 1)
+    y = resize_nearest(x, (4, 6))   # 2x, 2x
+    assert y.shape == (1, 4, 6, 1)
+    y2 = resize_nearest(x, (4, 12))  # 2x, 4x — unequal
+    assert y2.shape == (1, 4, 12, 1)
+    np.testing.assert_array_equal(np.asarray(y2[0, :, :, 0]),
+                                  np.repeat(np.repeat(
+                                      np.asarray(x[0, :, :, 0]), 2, 0), 4, 1))
+    # (1,1) -> non-square (the GlobalBranch case)
+    g = jnp.ones((2, 1, 1, 4))
+    yg = resize_nearest(g, (5, 3))
+    assert yg.shape == (2, 5, 3, 4)
