@@ -337,6 +337,33 @@ def _instantiate(spec: LayerSpec, dtype, name: str,
     raise ValueError(spec.name)
 
 
+def _check_stem_s2d(spec: ModelSpec, quant) -> None:
+    """stem_s2d is an exact rewrite ONLY of the shipped stem shape:
+    l0 = FusedFocus(k=6, s=2, p=2) fed by the input, l1 = Conv(k=3, s=2)
+    fed by l0. Anything else must build without the flag."""
+    ok = (
+        quant is None
+        and len(spec.layers) >= 2
+        and spec.layers[0].name == "FusedFocus"
+        and tuple(spec.layers[0].args[1:4]) == (6, 2, 2)
+        and spec.layers[0].f == (-1,)
+        and spec.layers[0].n == 1
+        and spec.layers[1].name == "Conv"
+        and spec.layers[1].f == (0,)
+        and spec.layers[1].n == 1
+        and len(spec.layers[1].args) >= 3
+        and tuple(spec.layers[1].args[1:3]) == (3, 2)
+        and all(a is None or a == 1 or a is True
+                for a in spec.layers[1].args[3:])
+        and 0 not in spec.save  # nothing downstream reads the phase map
+    )
+    if not ok:
+        raise ValueError(
+            "stem_s2d=True requires l0=Focus(k=3)/FusedFocus(6,2,2) on the "
+            "input and l1=Conv(k=3,s=2) on l0 (and no int8 quant); this "
+            "config does not match — build without stem_s2d")
+
+
 class DeSeNet(nn.Module):
     """The compiled joint detection+segmentation model.
 
@@ -359,6 +386,10 @@ class DeSeNet(nn.Module):
     decode_cat: bool = True  # False: Detect returns per-scale decode list
     # for the scale-local NMS prefilter (ops/nms.py)
     quant: Any = None  # QuantCfg for the int8 W8A8 inference path (quant.py)
+    stem_s2d: bool = False  # True: input arrives in host-side
+    # space-to-depth-4 layout (B, H/4, W/4, 16*ch_in) and l0/l1 run as
+    # phase-layout convs (layers.PhaseStemA/B) — exact, same param tree,
+    # fixes the cin=3 stem's ~6% MXU utilization (PERF.md)
 
     # modules that natively carry QTensors through the int8 path; others
     # receive dequantized inputs from the walker
@@ -375,9 +406,18 @@ class DeSeNet(nn.Module):
         det_srcs = (set(self.spec.layers[self.spec.det_layer].f)
                     if self.spec.det_layer >= 0 else set())
         self._quant_skip = det_srcs
+        if self.stem_s2d:
+            _check_stem_s2d(self.spec, self.quant)
         mods = {}
         for ls in self.spec.layers:
-            if ls.name == "Detect":
+            if self.stem_s2d and ls.i == 0:
+                mods["l0"] = L.PhaseStemA(c2=ls.args[0], ci=self.spec.ch_in,
+                                          dtype=self.dtype, name="l0")
+            elif self.stem_s2d and ls.i == 1:
+                mods["l1"] = L.PhaseStemB(
+                    c2=ls.args[0], ci=self.spec.layers[0].args[0],
+                    dtype=self.dtype, name="l1")
+            elif ls.name == "Detect":
                 mods[f"l{ls.i}"] = H.Detect(
                     nc=ls.args[0],
                     anchors=ls.args[1],
@@ -503,16 +543,23 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 fuse_focus: bool = True, remat: bool = False,
                 fused_csp: bool = True, seg_upsample: bool = True,
                 dtype=jnp.float32, quant=None,
-                decode_cat: bool = True) -> Tuple[DeSeNet, ModelSpec]:
+                decode_cat: bool = True,
+                stem_s2d: bool = False) -> Tuple[DeSeNet, ModelSpec]:
     spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors,
                         fuse_focus=fuse_focus)
     return DeSeNet(spec=spec, dtype=dtype, remat=remat,
                    fused_csp=fused_csp, seg_upsample=seg_upsample,
-                   decode_cat=decode_cat, quant=quant), spec
+                   decode_cat=decode_cat, quant=quant,
+                   stem_s2d=stem_s2d), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):
     """Initialize params/batch_stats with a dummy forward."""
-    x = jnp.zeros((batch, img_size, img_size, model.spec.ch_in), model.dtype)
+    if model.stem_s2d:
+        x = jnp.zeros((batch, img_size // 4, img_size // 4,
+                       16 * model.spec.ch_in), model.dtype)
+    else:
+        x = jnp.zeros((batch, img_size, img_size, model.spec.ch_in),
+                      model.dtype)
     variables = model.init({"params": rng, "dropout": rng}, x, train=False)
     return variables

@@ -1333,3 +1333,150 @@ class MixConv2d(nn.Module):
         y = jnp.concatenate(outs, axis=-1)
         y = BatchNorm(self.dtype, name="bn")(y, train)
         return silu(y)
+
+
+# ---------------------------------------------------------------------------
+# Phase-layout (space-to-depth-4) stem — exact rewrite of FusedFocus + Conv
+# ---------------------------------------------------------------------------
+#
+# The FusedFocus stem (6x6/s2 conv on 3 input channels) runs at ~6% MXU:
+# cin=3 starves the 128-deep contraction and XLA pads ~10x useful work
+# (PERF.md "l0:FusedFocus"; every device-side relayout measured worse —
+# tools/probe_stem*.py, ops/stem_pallas.py). The fix that works moves the
+# relayout OFF the device: the host delivers images in space-to-depth-4
+# layout (H/4, W/4, 48) — a fixed per-image byte permutation folded into the
+# loader's batch-assembly copy — and the first two layers become MXU-deep
+# stride-1 convs at the H/4 grid (measured b128 640px: l0+l1 8.74 -> 6.87 ms,
+# tools/probe_stem_s2d.py):
+#
+#   l0': 3x3/s1 conv  16*ci -> 4*c0, pad 1          [exact rewrite of
+#                                                    6x6/s2/p2, ci -> c0]
+#   l1': 2x2/s1 conv  4*c0 -> c1, pad ((1,0),(1,0)) [exact rewrite of
+#                                                    3x3/s2/p1, c0 -> c1]
+#
+# Channel orders: s2d input (pr, pc, ci) with pr/pc the 4x4 pixel phase;
+# l0' output (qy, qx, c0) with qy/qx the 2x2 output phase (so l1' consumes it
+# directly and emits the STANDARD (H/4, W/4, c1) map — everything downstream
+# of l1 is unchanged). Kernel maps (derivation: tools/probe_stem_s2d.py):
+#
+#   W3[dr+1, dc+1, (pr,pc,ci), (qy,qx,co)] = W6[4dr+pr-2qy+2, 4dc+pc-2qx+2,
+#                                               ci, co]   (out of range -> 0)
+#   W2[er+1, ec+1, (qy,qx,ci), co]         = W1[2er+qy+1, 2ec+qx+1, ci, co]
+#
+# The modules below declare parameters with the SAME names/shapes as the
+# ConvBnAct layers they replace (l{i}/conv/conv2d/kernel, l{i}/bn/bn/*) and
+# apply the kernel map in-graph (a trace-time gather over a few thousand
+# elements): checkpoints, EMA, optimizer state, and the torch converter are
+# untouched, and gradients are exact (the function is identical).
+
+
+def _phase_stem_gather(W, idx_r, idx_c, valid):
+    """W[idx_r, idx_c] with out-of-range -> 0, via a zero pad row/col."""
+    pad_i = W.shape[0]
+    idx_r = np.where(valid, idx_r, pad_i)
+    idx_c = np.where(valid, idx_c, pad_i)
+    Wp = jnp.pad(W, ((0, pad_i + 1 - W.shape[0]), (0, pad_i + 1 - W.shape[1]),
+                     (0, 0), (0, 0)))
+    return Wp[idx_r, idx_c]
+
+
+def phase_stem_kernel_a(W6):
+    """(6,6,ci,co) 6x6/s2/p2 kernel -> (3,3,16*ci,4*co) phase kernel."""
+    ci, co = W6.shape[2], W6.shape[3]
+    dr = np.arange(-1, 2).reshape(3, 1, 1, 1, 1, 1)
+    dc = np.arange(-1, 2).reshape(1, 3, 1, 1, 1, 1)
+    pr = np.arange(4).reshape(1, 1, 4, 1, 1, 1)
+    pc = np.arange(4).reshape(1, 1, 1, 4, 1, 1)
+    qy = np.arange(2).reshape(1, 1, 1, 1, 2, 1)
+    qx = np.arange(2).reshape(1, 1, 1, 1, 1, 2)
+    shape = (3, 3, 4, 4, 2, 2)
+    kr = np.broadcast_to(4 * dr + pr - 2 * qy + 2, shape)
+    kc = np.broadcast_to(4 * dc + pc - 2 * qx + 2, shape)
+    valid = (kr >= 0) & (kr < 6) & (kc >= 0) & (kc < 6)
+    W3 = _phase_stem_gather(W6, kr, kc, valid)  # (3,3,4,4,2,2,ci,co)
+    return W3.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(3, 3, 16 * ci, 4 * co)
+
+
+def phase_stem_kernel_b(W1):
+    """(3,3,ci,co) 3x3/s2/p1 kernel -> (2,2,4*ci,co) phase kernel."""
+    ci, co = W1.shape[2], W1.shape[3]
+    er = np.arange(-1, 1).reshape(2, 1, 1, 1)
+    ec = np.arange(-1, 1).reshape(1, 2, 1, 1)
+    qy = np.arange(2).reshape(1, 1, 2, 1)
+    qx = np.arange(2).reshape(1, 1, 1, 2)
+    shape = (2, 2, 2, 2)
+    kr = np.broadcast_to(2 * er + qy + 1, shape)
+    kc = np.broadcast_to(2 * ec + qx + 1, shape)
+    valid = (kr >= 0) & (kr < 3) & (kc >= 0) & (kc < 3)
+    W2 = _phase_stem_gather(W1, kr, kc, valid)  # (2,2,2,2,ci,co)
+    return W2.reshape(2, 2, 4 * ci, co)
+
+
+class _PhaseKernel(nn.Module):
+    """Declares the standard-layout conv kernel at .../conv2d/kernel."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", torch_conv_kernel_init, self.shape,
+                          jnp.float32)
+
+
+class _PhaseConvScope(nn.Module):
+    """Scope shim so the kernel lives at l{i}/conv/conv2d/kernel, exactly
+    where the ConvBnAct this module replaces puts it."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return _PhaseKernel(self.shape, name="conv2d")()
+
+
+class PhaseStemA(nn.Module):
+    """Phase-layout replacement for l0 = FusedFocus (ConvBnAct c2,6,2,2).
+
+    Input (B, H/4, W/4, 16*ci) in s2d4 channel order (pr, pc, ci);
+    output (B, H/4, W/4, 4*c2) in (qy, qx, c2) order. BN statistics are
+    computed per ORIGINAL channel by folding the 2x2 output phase into the
+    reduction axes — bit-identical population to the standard layout."""
+
+    c2: int
+    ci: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        W6 = _PhaseConvScope((6, 6, self.ci, self.c2), name="conv")()
+        W3 = phase_stem_kernel_a(W6).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), W3, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = _name_conv_out(y)
+        b, h, w, _ = y.shape
+        y = y.reshape(b, h, w, 4, self.c2)
+        y = BatchNorm(self.dtype, name="bn")(y, train)
+        return silu(y).reshape(b, h, w, 4 * self.c2)
+
+
+class PhaseStemB(nn.Module):
+    """Phase-layout replacement for l1 = Conv (ConvBnAct c2,3,2).
+
+    Input (B, H/4, W/4, 4*ci) in (qy, qx, ci) order — PhaseStemA's output —
+    output the STANDARD (B, H/4, W/4, c2) map; layers >= 2 are unchanged."""
+
+    c2: int
+    ci: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        W1 = _PhaseConvScope((3, 3, self.ci, self.c2), name="conv")()
+        W2 = phase_stem_kernel_b(W1).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), W2, (1, 1), ((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = _name_conv_out(y)
+        y = BatchNorm(self.dtype, name="bn")(y, train)
+        return silu(y)
