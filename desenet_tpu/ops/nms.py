@@ -182,7 +182,29 @@ def non_max_suppression(
     total = sum(p.shape[1] for p in preds)
     pre_topk = min(pre_topk, total * (nc if multi_label else 1))
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # single-label single-array predictions take the fused Pallas
+        # select+NMS kernel: no top-k cap (exacter than pre_topk — matches
+        # the reference's max_nms=30000 which never binds at A=25200) and
+        # ~6 ms faster at b128 (ops/nms_fused.py). Multi-label (val) keeps
+        # the top-k path: per-(anchor,class) pairs don't fit one-score-
+        # per-anchor planes.
+        if (jax.default_backend() == "tpu" and not multi_label
+                and len(preds) == 1):
+            backend = "fused"
+        else:
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    if backend == "fused":
+        from desenet_tpu.ops.nms_fused import fused_select_nms
+
+        out_boxes, out_scores, out_cls, keep_ok = fused_select_nms(
+            preds[0], conf_thres=conf_thres, iou_thres=iou_thres,
+            max_det=max_det, agnostic=agnostic,
+            classes=tuple(classes) if classes is not None else None,
+            max_wh=MAX_WH,
+        )
+        num = jnp.sum(keep_ok, axis=1).astype(jnp.int32)
+        return NMSOutput(out_boxes, out_scores, out_cls, keep_ok, num)
 
     per_scale = []
     for p in preds:
