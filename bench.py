@@ -33,9 +33,13 @@ def main():
     from desenet_tpu.ops.seg_pallas import upsample_argmax
 
     # seg_upsample=False: the head returns 1/8-res logits and the fused
-    # Pallas tail does bilinear-8x + argmax in VMEM (ops/seg_pallas.py)
+    # Pallas tail does bilinear-8x + argmax in VMEM (ops/seg_pallas.py).
+    # stem_s2d=True: inputs arrive in host space-to-depth-4 layout — the
+    # loader folds the permutation into its batch-assembly memcpy
+    # (native/fastops.cpp assemble_batch_s2d4; api.Predictor does the same)
+    # — and l0/l1 run as MXU-deep phase convs (models/layers.py PhaseStem*)
     model, _ = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16,
-                           seg_upsample=False)
+                           seg_upsample=False, stem_s2d=True)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE, batch=1)
 
     def infer_digest(variables, x):
@@ -54,8 +58,8 @@ def main():
         # pre-generated varied inputs: the timed region is pure inference
         # (per-iteration on-device RNG is not part of the workload, and
         # identical inputs would be replayed by the axon tunnel)
-        return jax.random.uniform(key, (ITERS, BATCH, SIZE, SIZE, 3),
-                                  jnp.bfloat16)
+        return jax.random.uniform(
+            key, (ITERS, BATCH, SIZE // 4, SIZE // 4, 48), jnp.bfloat16)
 
     @jax.jit
     def chain(variables, xs):

@@ -163,17 +163,34 @@ class Detections:
 class Predictor:
     def __init__(self, weights: str, imgsz: int = 640,
                  conf_thres: float = 0.25, iou_thres: float = 0.45,
-                 max_det: int = 300, half: bool = True):
+                 max_det: int = 300, half: bool = True,
+                 stem_s2d: bool = None):
         variables, meta = load_inference_variables(weights)
         assert meta is not None, "checkpoint missing meta.json"
         dtype = jnp.bfloat16 if half else jnp.float32
+        if stem_s2d is None:
+            # phase-layout stem (models/layers.py PhaseStemA/B): host
+            # delivers s2d4 batches, l0/l1 run MXU-deep — TPU win only
+            stem_s2d = jax.default_backend() == "tpu"
         # seg_upsample=False: 1/8-res logits + the fused Pallas upsample/
         # argmax tail (ops/seg_pallas.py; XLA composition off-TPU) — same
         # class map, no full-res logits round-trip
-        self.model, self.spec = build_model(
-            config_path(meta["cfg"]), nc=meta["de_nc"], se_nc=meta["se_nc"],
-            dtype=dtype, seg_upsample=False,
-        )
+        try:
+            self.model, self.spec = build_model(
+                config_path(meta["cfg"]), nc=meta["de_nc"],
+                se_nc=meta["se_nc"], dtype=dtype, seg_upsample=False,
+                stem_s2d=stem_s2d,
+            )
+            if stem_s2d:  # validate the stem shape eagerly
+                from desenet_tpu.models.build import _check_stem_s2d
+                _check_stem_s2d(self.spec, None)
+        except ValueError:
+            stem_s2d = False
+            self.model, self.spec = build_model(
+                config_path(meta["cfg"]), nc=meta["de_nc"],
+                se_nc=meta["se_nc"], dtype=dtype, seg_upsample=False,
+            )
+        self.stem_s2d = stem_s2d
         self.variables = variables
         self.imgsz = imgsz
         self.stride = max(self.spec.det_strides)
@@ -218,7 +235,12 @@ class Predictor:
 
         lb = [letterbox(im, self.imgsz, auto=False, stride=self.stride)
               for im in imgs0]
-        batch = np.stack([np.ascontiguousarray(x[0][:, :, ::-1]) for x in lb])
+        rgb = [np.ascontiguousarray(x[0][:, :, ::-1]) for x in lb]
+        if self.stem_s2d:
+            from desenet_tpu.native import assemble_batch_s2d4
+            batch = assemble_batch_s2d4(rgb)
+        else:
+            batch = np.stack(rgb)
         nms, seg_cls = jax.block_until_ready(
             self._infer(self.variables, jnp.asarray(batch))
         )

@@ -65,8 +65,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.decode_jpeg_scaled.restype = ctypes.c_int
         lib.has_jpeg.restype = ctypes.c_int
+        lib.assemble_batch_s2d4.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
         lib.fastops_version.restype = ctypes.c_int
-        assert lib.fastops_version() == 3
+        assert lib.fastops_version() == 4
         _LIB = lib
         LOGGER.info("fastops native library loaded")
     except Exception as e:
@@ -94,6 +98,29 @@ def assemble_batch(samples: Sequence[np.ndarray]) -> np.ndarray:
     )
     lib.assemble_batch(out.ctypes.data_as(ctypes.c_void_p), arr, n,
                        int(np.prod(shape)))
+    return out
+
+
+def assemble_batch_s2d4(samples: Sequence[np.ndarray]) -> np.ndarray:
+    """Pack N (H, W, C) uint8 samples into one (N, H/4, W/4, 16C) batch in
+    space-to-depth-4 layout (phase-stem input, models/layers.py PhaseStemA).
+    The permutation costs nothing beyond the batch memcpy itself in the
+    native path; falls back to the numpy reshape/transpose."""
+    h, w, c = samples[0].shape
+    if h % 4 or w % 4:
+        raise ValueError(f"s2d4 needs H, W divisible by 4, got {h}x{w}")
+    lib = _load()
+    if lib is None or not samples:
+        from desenet_tpu.ops.s2d import space_to_depth4_np
+        return space_to_depth4_np(np.stack(samples, 0))
+    n = len(samples)
+    out = np.empty((n, h // 4, w // 4, 16 * c), np.uint8)
+    srcs = [np.ascontiguousarray(s, dtype=np.uint8) for s in samples]
+    arr = (ctypes.c_void_p * n)(
+        *[s.ctypes.data_as(ctypes.c_void_p).value for s in srcs]
+    )
+    lib.assemble_batch_s2d4(out.ctypes.data_as(ctypes.c_void_p), arr, n,
+                            h, w, c)
     return out
 
 

@@ -347,6 +347,34 @@ int has_jpeg() { return 0; }
 
 #endif
 
-int fastops_version() { return 3; }
+// Pack N HWC uint8 samples into one contiguous batch in space-to-depth-4
+// layout (n, h/4, w/4, 16c), channel order (pr, pc, ci) — the input format
+// of the phase stem (models/layers.py PhaseStemA; derivation
+// tools/probe_stem_s2d.py). The permutation is folded into the batch
+// memcpy: same bytes moved as assemble_batch, in 4c-byte runs. h, w must
+// be divisible by 4 (the Python wrapper checks).
+void assemble_batch_s2d4(uint8_t* dst, const uint8_t** srcs, int64_t n,
+                         int64_t h, int64_t w, int64_t c) {
+  const int64_t hq = h / 4, wq = w / 4;
+  const int64_t run = 4 * c;              // one (pr, x) run: 4 pixels
+  const int64_t dst_px = 16 * c;          // output channels per (y, x)
+  const int64_t dst_sample = hq * wq * dst_px;
+#pragma omp parallel for schedule(static) collapse(2)
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t y = 0; y < hq; ++y) {
+      const uint8_t* src = srcs[i];
+      uint8_t* drow = dst + i * dst_sample + y * wq * dst_px;
+      for (int64_t pr = 0; pr < 4; ++pr) {
+        const uint8_t* srow = src + ((4 * y + pr) * w) * c;
+        uint8_t* dbase = drow + pr * run;
+        for (int64_t x = 0; x < wq; ++x) {
+          std::memcpy(dbase + x * dst_px, srow + x * run, run);
+        }
+      }
+    }
+  }
+}
+
+int fastops_version() { return 4; }
 
 }  // extern "C"

@@ -233,3 +233,21 @@ def test_dataset_fast_decode_matches_pil_geometry(tmp_path):
     assert ds_rot._load_image_fast(str(ds_dir / "i0.jpg")) is None
     a_rot, (h0, w0), _ = ds_rot.load_image(0)
     assert (h0, w0) == (1280, 960)  # transposed by EXIF
+
+
+def test_assemble_batch_s2d4_matches_numpy():
+    """Native s2d4 batch assembler == numpy reference permutation, and the
+    fallback path (DESENET_NATIVE=0 uses space_to_depth4_np) agrees."""
+    from desenet_tpu.native import assemble_batch_s2d4
+    from desenet_tpu.ops.s2d import space_to_depth4_np
+
+    rng = np.random.default_rng(0)
+    samples = [rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+               for _ in range(5)]
+    out = assemble_batch_s2d4(samples)
+    ref = space_to_depth4_np(np.stack(samples, 0))
+    assert out.shape == (5, 16, 24, 48)
+    np.testing.assert_array_equal(out, ref)
+
+    with pytest.raises(ValueError):
+        assemble_batch_s2d4([np.zeros((10, 8, 3), np.uint8)])
