@@ -148,6 +148,43 @@ def test_remat_convs_equivalence(setup):
                                    rtol=0, atol=1e-6)
 
 
+def test_always_step_specialization_equivalence(setup):
+    """With batch_size >= nominal_bs, accumulate == 1 at every step and the
+    step drops the accumulation buffer + whole-tree selects (PERF.md). The
+    specialized program must match the general select path bit-for-bit."""
+    model, variables, loss_fn = setup
+    opt_cfg = OptimConfig(lr0=0.01)
+    batch = synth_batch(np.random.default_rng(0))
+    rng = jax.random.PRNGKey(1)
+    states = []
+    for force_general in (False, True):
+        state = create_train_state(variables, opt_cfg)
+        step = make_train_step(
+            model, loss_fn, opt_cfg, one_cycle(1, 0.2, 10),
+            nb=10, warmup_iters=5, nominal_bs=2, batch_size=2,
+            donate=False, _force_select_path=force_general,
+        )
+        for i in range(4):
+            state, metrics = step(state, batch, rng)
+            assert int(metrics["stepped"]) == 1
+        states.append(state)
+    spec, gen = states
+    assert int(spec.ema_updates) == int(gen.ema_updates) == 4
+    assert int(spec.last_opt_step) == int(gen.last_opt_step)
+    for name in ("params", "ema_params", "opt_state", "batch_stats"):
+        for a, b in zip(jax.tree.leaves(getattr(spec, name)),
+                        jax.tree.leaves(getattr(gen, name))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+    # dropping the select changes fusion boundaries; the EMA-of-batch-stats
+    # chain rounds one element differently (measured 1 ULP) — allow that
+    for a, b in zip(jax.tree.leaves(spec.ema_batch_stats),
+                    jax.tree.leaves(gen.ema_batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7,
+                                   err_msg="ema_batch_stats")
+
+
 def test_freeze_layers(setup):
     """freeze=N pins layers l0..l{N-1} exactly (grads zeroed AND the weight-
     decay term masked, matching the reference's requires_grad=False loop,
