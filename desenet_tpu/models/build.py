@@ -390,6 +390,10 @@ class DeSeNet(nn.Module):
     # space-to-depth-4 layout (B, H/4, W/4, 16*ch_in) and l0/l1 run as
     # phase-layout convs (layers.PhaseStemA/B) — exact, same param tree,
     # fixes the cin=3 stem's ~6% MXU utilization (PERF.md)
+    act_store: Any = None  # storage dtype (jnp.float8_e4m3fn) for block
+    # activations on the EVAL path: ConvBnAct outputs are written to HBM in
+    # this dtype, compute stays in `dtype` (layers.act_store_scope). Layers
+    # feeding Detect are excluded (same policy as int8). None = off.
 
     # modules that natively carry QTensors through the int8 path; others
     # receive dequantized inputs from the walker
@@ -446,6 +450,63 @@ class DeSeNet(nn.Module):
                         mods[f"l{ls.i}"] = m
         self._mods = mods
 
+    def _run_layer(self, ls, inp, train: bool):
+        """Dispatch one graph row to its module / primitive."""
+        if ls.name == "Upsample":
+            scale, mode = ls.args
+            assert mode == "nearest", mode
+            if isinstance(inp, quant_mod.QTensor):
+                return quant_mod.QTensor(
+                    upsample_nearest(inp.data, scale), inp.scale)
+            return upsample_nearest(inp, scale)
+        if ls.name == "Concat":
+            # keep the concat implicit (list) when the only consumer is
+            # the immediately-following conv-entry block and every part
+            # is MXU-wide — the consumer's first conv then slices its
+            # kernel per part (split-conv, PERF.md); else materialize
+            nxt = (self.spec.layers[ls.i + 1]
+                   if ls.i + 1 < len(self.spec.layers) else None)
+            splittable = (
+                ls.i not in self.spec.save
+                and nxt is not None
+                and nxt.name in ("C3", "Conv", "C3TR", "C3Ghost",
+                                 "BottleneckCSP", "SPP", "SPPF")
+                and nxt.n == 1
+                and tuple(nxt.f) == (ls.i,)  # f is absolute indices
+            )
+            if any(isinstance(v, quant_mod.QTensor) for v in inp):
+                return (L.qt_maybe_cat(inp) if splittable
+                        else quant_mod.qt_concat(inp))
+            if splittable:
+                return L.maybe_cat(inp)
+            if len({v.dtype for v in inp}) > 1:
+                # fp8-stored part next to a bf16 one (det-src boundary)
+                inp = [L.to_compute(v, self.dtype) for v in inp]
+            return jnp.concatenate(inp, axis=-1)
+        if ls.name == "Detect":
+            # single-scale Detect: a lone 'from' index arrives as a bare
+            # tensor — the head expects one feature map per scale
+            if not isinstance(inp, (list, tuple)):
+                inp = [inp]
+            return self._mods[f"l{ls.i}"](inp, train=train)
+        if ls.name in _SEG_HEADS:
+            return self._mods[f"l{ls.i}"](
+                inp if isinstance(inp, list) else [inp], train=train
+            )
+        m = self._mods[f"l{ls.i}"]
+
+        def run_mod(mod, y, _train=train):
+            return mod(y, train=_train)
+
+        if self.remat and train:
+            run_mod = nn.remat(run_mod)
+        if isinstance(m, tuple):
+            out = inp
+            for sub in m:
+                out = run_mod(sub, out)
+            return out
+        return run_mod(m, inp)
+
     def __call__(self, x, train: bool = False, up_to: Optional[int] = None):
         """Forward. `up_to=k` stops after layer k and returns that layer's
         output (feature extraction / per-layer profiling; analog of the
@@ -474,61 +535,20 @@ class DeSeNet(nn.Module):
                            if isinstance(v, quant_mod.QTensor) else v
                            for v in inp]
 
-            if ls.name == "Upsample":
-                scale, mode = ls.args
-                assert mode == "nearest", mode
-                if isinstance(inp, quant_mod.QTensor):
-                    out = quant_mod.QTensor(
-                        upsample_nearest(inp.data, scale), inp.scale)
-                else:
-                    out = upsample_nearest(inp, scale)
-            elif ls.name == "Concat":
-                # keep the concat implicit (list) when the only consumer is
-                # the immediately-following conv-entry block and every part
-                # is MXU-wide — the consumer's first conv then slices its
-                # kernel per part (split-conv, PERF.md); else materialize
-                nxt = (self.spec.layers[ls.i + 1]
-                       if ls.i + 1 < len(self.spec.layers) else None)
-                splittable = (
-                    ls.i not in self.spec.save
-                    and nxt is not None
-                    and nxt.name in ("C3", "Conv", "C3TR", "C3Ghost",
-                                     "BottleneckCSP", "SPP", "SPPF")
-                    and nxt.n == 1
-                    and tuple(nxt.f) == (ls.i,)  # f is absolute indices
-                )
-                if any(isinstance(v, quant_mod.QTensor) for v in inp):
-                    out = (L.qt_maybe_cat(inp) if splittable
-                           else quant_mod.qt_concat(inp))
-                else:
-                    out = L.maybe_cat(inp) if splittable else jnp.concatenate(
-                        inp, axis=-1)
-            elif ls.name == "Detect":
-                # single-scale Detect: a lone 'from' index arrives as a bare
-                # tensor — the head expects one feature map per scale
-                if not isinstance(inp, (list, tuple)):
-                    inp = [inp]
-                out = self._mods[f"l{ls.i}"](inp, train=train)
+            # fp8 activation storage: scope the storage dtype for this
+            # layer's blocks (eval only; layers feeding Detect excluded —
+            # their outputs ARE the box/obj/cls features, same policy as
+            # the int8 path)
+            store = (self.act_store
+                     if (self.act_store is not None and not train
+                         and ls.name != "Detect"
+                         and ls.i not in self._quant_skip) else None)
+            with L.act_store_scope(store):
+                out = self._run_layer(ls, inp, train)
+            if ls.name == "Detect":
                 det_out = out
             elif ls.name in _SEG_HEADS:
-                out = self._mods[f"l{ls.i}"](
-                    inp if isinstance(inp, list) else [inp], train=train
-                )
                 seg_out = out
-            else:
-                m = self._mods[f"l{ls.i}"]
-
-                def run_mod(mod, y, _train=train):
-                    return mod(y, train=_train)
-
-                if self.remat and train:
-                    run_mod = nn.remat(run_mod)
-                if isinstance(m, tuple):
-                    out = inp
-                    for sub in m:
-                        out = run_mod(sub, out)
-                else:
-                    out = run_mod(m, inp)
 
             if ls.i in self.spec.save:
                 cache[ls.i] = out
@@ -544,13 +564,21 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 fused_csp: bool = True, seg_upsample: bool = True,
                 dtype=jnp.float32, quant=None,
                 decode_cat: bool = True,
-                stem_s2d: bool = False) -> Tuple[DeSeNet, ModelSpec]:
+                stem_s2d: bool = False,
+                act_store=None) -> Tuple[DeSeNet, ModelSpec]:
+    if isinstance(act_store, str):
+        act_store = {"fp8": jnp.float8_e4m3fn,
+                     "fp8_e4m3": jnp.float8_e4m3fn,
+                     "fp8_e5m2": jnp.float8_e5m2}[act_store]
+    if act_store is not None and quant is not None:
+        raise ValueError("act_store (fp8 storage) and quant (int8 W8A8) are "
+                         "mutually exclusive inference modes")
     spec = parse_config(cfg, ch=ch, nc=nc, se_nc=se_nc, anchors=anchors,
                         fuse_focus=fuse_focus)
     return DeSeNet(spec=spec, dtype=dtype, remat=remat,
                    fused_csp=fused_csp, seg_upsample=seg_upsample,
                    decode_cat=decode_cat, quant=quant,
-                   stem_s2d=stem_s2d), spec
+                   stem_s2d=stem_s2d, act_store=act_store), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):

@@ -38,6 +38,7 @@ from desenet_tpu.models.layers import (
     RFB2,
     maybe_cat,
     qt_maybe_cat,
+    to_compute,
     torch_conv_kernel_init,
 )
 from desenet_tpu import quant as Q
@@ -269,7 +270,7 @@ class SegMaskBiSe(nn.Module):
         feat3 = resize_bilinear(feat3, (feat3.shape[1] * 2, feat3.shape[2] * 2),
                                 align_corners=True)
         feat2 = ConvBnAct(128, 3, dtype=self.dtype, name="up16_conv")(
-            f16_m + feat3, train
+            to_compute(f16_m, self.dtype) + to_compute(feat3, self.dtype), train
         )
         feat2 = resize_bilinear(feat2, (feat2.shape[1] * 2, feat2.shape[2] * 2),
                                 align_corners=True)

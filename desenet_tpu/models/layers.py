@@ -22,6 +22,8 @@ Each class cites the reference lines it mirrors behaviorally.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
@@ -219,6 +221,59 @@ def silu(x):
     return jax.nn.silu(x)
 
 
+# ---------------------------------------------------------------------------
+# fp8 activation STORAGE (inference-only HBM traffic reduction).
+#
+# The eval forward is HBM-bound (PERF.md): activations dominate the bytes.
+# When a storage dtype is scoped here, every ConvBnAct/DilatedConvBnSiLU
+# casts its OUTPUT to it (fp8_e4m3: half the bytes of bf16) while all
+# compute stays in the block's compute dtype — XLA fuses the down-convert
+# into the producing fusion's write and the up-convert into each consumer's
+# read, so the fp8 tensor is what lives in HBM. int8 W8A8 failed to pay off
+# on this libtpu because of requant epilogues and s32 conv outputs
+# (PERF.md "int8"); fp8 storage has neither problem: no calibration, no
+# epilogue, dynamic per-value exponent.
+#
+# Scoped per-layer by the model walker (models/build.py `act_store=`):
+# layers feeding Detect are excluded — same policy and reasoning as the
+# int8 path (the val conf=0.001 tail is precision-sensitive there).
+# ---------------------------------------------------------------------------
+
+_F8_DTYPES = (jnp.float8_e4m3fn, jnp.float8_e5m2)
+
+_ACT_STORE: contextvars.ContextVar = contextvars.ContextVar(
+    "desenet_act_store", default=None)
+
+
+@contextlib.contextmanager
+def act_store_scope(dtype):
+    """Scope a storage dtype for block outputs (None = no-op scope)."""
+    token = _ACT_STORE.set(dtype)
+    try:
+        yield
+    finally:
+        _ACT_STORE.reset(token)
+
+
+def _store_act(y, train: bool):
+    """Cast a block output to the scoped storage dtype (eval only)."""
+    st = _ACT_STORE.get()
+    if (st is None or train or not isinstance(y, jax.Array)
+            or y.dtype == st or not jnp.issubdtype(y.dtype, jnp.floating)):
+        return y
+    return y.astype(st)
+
+
+def to_compute(x, dtype):
+    """Upcast a storage-dtype (fp8) activation for raw elementwise ops —
+    adds/multiplies/pools that cannot take fp8 operands (e4m3 has no inf,
+    and mixed fp8/bf16 ops are rejected by JAX's promotion rules). The
+    convert fuses into the consumer's read; no-op for compute dtypes."""
+    if isinstance(x, jax.Array) and x.dtype in _F8_DTYPES:
+        return x.astype(dtype)
+    return x
+
+
 def _sum_channels(x) -> int:
     """Channel count of a tensor, QTensor, or implicit-concat list."""
     if isinstance(x, (list, tuple)):
@@ -258,6 +313,12 @@ def maybe_cat(xs, axis=-1):
     else materialize the concat."""
     if all(v.shape[-1] >= SPLIT_CONV_MIN_PART for v in xs):
         return list(xs)
+    if len({v.dtype for v in xs}) > 1:
+        # mixed storage/compute dtypes (an fp8-stored part next to a bf16
+        # one, e.g. at a det-src exclusion boundary): concat in the widest
+        wide = jnp.result_type(*[jnp.bfloat16 if v.dtype in _F8_DTYPES
+                                 else v.dtype for v in xs])
+        xs = [v.astype(wide) for v in xs]
     return jnp.concatenate(xs, axis=axis)
 
 
@@ -388,7 +449,7 @@ class ConvBnAct(nn.Module):
                 Q.sow_absmax(self, "out", y)
             elif q.is_int8:  # initializing
                 return Q.quantize(y, q.scale_for(Q.site_key(self, "out")))
-        return y
+        return _store_act(y, train)
 
 
 class DWConv(nn.Module):
@@ -440,7 +501,8 @@ class Bottleneck(nn.Module):
         y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
                       quant=self.quant, name="cv2")(y, train)
         if use_res:
-            return x + y
+            return _store_act(
+                to_compute(x, self.dtype) + to_compute(y, self.dtype), train)
         return y
 
 
@@ -529,6 +591,7 @@ class C3(nn.Module):
                     y1 = QTensor(y.data[..., :c_], y.scale)
                     y2 = QTensor(y.data[..., c_:], y.scale)
                 else:
+                    y = _store_act(y, train)
                     y1, y2 = y[..., :c_], y[..., c_:]
         else:
             y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=q,
@@ -569,6 +632,9 @@ class SPP(nn.Module):
             return ConvBnAct(self.c2, 1, 1, dtype=self.dtype,
                              quant=self.quant, name="cv2")(
                 qt_maybe_cat(pools), train)
+        # fp8-stored input: pool in the compute dtype (e4m3 has no -inf for
+        # the reduce_window identity); max commutes with the upcast
+        y = to_compute(y, self.dtype)
         pools = [y] + [max_pool_same(y, k) for k in self.k]
         # implicit concat: cv2 is a 1x1 over the channel-concat; feeding the
         # list avoids this libtpu's pad+maximum concat decomposition
@@ -596,6 +662,7 @@ class SPPF(nn.Module):
             return ConvBnAct(self.c2, 1, 1, dtype=self.dtype,
                              quant=self.quant, name="cv2")(
                 qt_maybe_cat([y, y1, y2, y3]), train)
+        y = to_compute(y, self.dtype)  # see SPP: no -inf identity in fp8
         y1 = max_pool_same(y, self.k)
         y2 = max_pool_same(y1, self.k)
         y3 = max_pool_same(y2, self.k)
@@ -849,8 +916,8 @@ class ARM(nn.Module):
         att = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype, name="att_conv")(
             att, train
         )
-        att = jax.nn.sigmoid(att)
-        return feat * att
+        att = jax.nn.sigmoid(to_compute(att, self.dtype))
+        return to_compute(feat, self.dtype) * att
 
 
 class FFM(nn.Module):
@@ -900,7 +967,8 @@ class FFM(nn.Module):
         att = silu(att)
         att = Conv2d(self.c2, 1, use_bias=False, dtype=self.dtype, name="att_fc2")(att)
         att = jax.nn.sigmoid(att)
-        out = feat * att + feat
+        featc = to_compute(feat, self.dtype)
+        out = featc * att + featc
         if q is not None:
             if q.is_calib:
                 Q.sow_absmax(self, "gate", out)
@@ -943,7 +1011,7 @@ class DilatedConvBnSiLU(nn.Module):
                 Q.sow_absmax(self, "out", y)
             elif q.is_int8:  # initializing
                 return Q.quantize(y, q.scale_for(Q.site_key(self, "out")))
-        return y
+        return _store_act(y, train)
 
 
 class GlobalBranch(nn.Module):
@@ -1457,7 +1525,7 @@ class PhaseStemA(nn.Module):
         b, h, w, _ = y.shape
         y = y.reshape(b, h, w, 4, self.c2)
         y = BatchNorm(self.dtype, name="bn")(y, train)
-        return silu(y).reshape(b, h, w, 4 * self.c2)
+        return _store_act(silu(y).reshape(b, h, w, 4 * self.c2), train)
 
 
 class PhaseStemB(nn.Module):
@@ -1479,4 +1547,4 @@ class PhaseStemB(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = _name_conv_out(y)
         y = BatchNorm(self.dtype, name="bn")(y, train)
-        return silu(y)
+        return _store_act(silu(y), train)
