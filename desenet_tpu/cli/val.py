@@ -47,6 +47,7 @@ def run(
     coco_anno="",
     int8=False,
     calib_batches=2,
+    act_store=None,
 ):
     # COCO-protocol exports need the sparse 91-id category space when the
     # dataset is real COCO (reference val.py:204: class_map =
@@ -61,6 +62,7 @@ def run(
         # (reference val.py --weights nargs + -> attempt_load Ensemble,
         # experimental.py:78-108)
         assert not int8, "--int8 does not support ensembles"
+        assert act_store is None, "--act-store does not support ensembles"
         from desenet_tpu.eval.ensemble import EnsembleModel, load_ensemble
 
         members = load_ensemble(weights_list, dtype=dtype)
@@ -72,7 +74,8 @@ def run(
         variables, meta = load_inference_variables(weights_list[0])
         assert meta is not None, "checkpoint missing meta.json"
         model, spec = build_model(config_path(meta["cfg"]), nc=meta["de_nc"],
-                                  se_nc=meta["se_nc"], dtype=dtype)
+                                  se_nc=meta["se_nc"], dtype=dtype,
+                                  act_store=act_store)
     imgsz = check_img_size(imgsz, s=max(spec.det_strides))
 
     if int8:
@@ -213,6 +216,10 @@ def parse_opt(argv=None):
                         "(default: <data path>/annotations/instances_val2017.json)")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 PTQ inference (calibrates on train batches)")
+    p.add_argument("--act-store", choices=["fp8", "fp8_e5m2"], default=None,
+                   help="store block activations in fp8 (bf16 compute; "
+                        "eval-only; a wash on v5e — see PERF.md — wins on "
+                        "fp8-native TPUs)")
     return p.parse_args(argv)
 
 
@@ -241,7 +248,7 @@ def main(argv=None):
         o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
         o.plots, o.save_dir, o.workers, o.augment, o.save_txt, o.save_conf,
         o.save_json, coco_anno=o.coco_anno, int8=o.int8,
-        save_hybrid=o.save_hybrid,
+        save_hybrid=o.save_hybrid, act_store=o.act_store,
     )
 
 

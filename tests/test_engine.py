@@ -110,6 +110,23 @@ def test_validator_on_checkpoint(train_run, micro_root):
     assert np.isfinite(results["map50"])
 
 
+def test_val_cli_act_store_fp8(train_run, micro_root):
+    """--act-store fp8 (fp8 activation storage, bf16 compute) runs the full
+    val path and lands near the bf16 result (PERF.md: a wash on v5e, kept
+    for fp8-native TPUs)."""
+    from desenet_tpu.cli.val import run
+
+    kw = dict(batch_size=4, imgsz=64, half=True, workers=2)
+    base = run(os.path.join(micro_root, "data.yaml"),
+               os.path.join(train_run["save_dir"], "last"), **kw)
+    res = run(os.path.join(micro_root, "data.yaml"),
+              os.path.join(train_run["save_dir"], "last"),
+              act_store="fp8", **kw)
+    assert res["seen"] == 4
+    assert abs(res["miou"] - base["miou"]) < 0.05
+    assert np.isfinite(res["map50"])
+
+
 def test_val_cli_ensemble(train_run, micro_root):
     """Multi-weights val: joint-NMS ensemble of last + best_stripped
     (reference --weights nargs + -> attempt_load Ensemble)."""
