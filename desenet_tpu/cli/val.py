@@ -78,6 +78,9 @@ def run(
                                   act_store=act_store)
     imgsz = check_img_size(imgsz, s=max(spec.det_strides))
 
+    if int8 and act_store is not None:
+        raise ValueError("--int8 and --act-store are mutually exclusive "
+                         "inference modes")
     if int8:
         # W8A8 PTQ (quant.py): calibrate activation scales on a few val-task
         # batches, then swap in the int8 inference model. The reference has

@@ -409,6 +409,22 @@ class DeSeNet(nn.Module):
         # cheapest convs of the neck)
         det_srcs = (set(self.spec.layers[self.spec.det_layer].f)
                     if self.spec.det_layer >= 0 else set())
+        # expand the exclusion through pass-through rows (Concat/Upsample/
+        # Contract/Expand carry their inputs' precision unchanged) so the
+        # "layers feeding Detect stay full-precision" policy reaches the
+        # producing compute layers even when Detect reads a reshaping row
+        passthrough = {"Concat", "Upsample", "Contract", "Expand"}
+        frontier = list(det_srcs)
+        while frontier:
+            i = frontier.pop()
+            if i < 0:
+                continue
+            row = self.spec.layers[i]
+            if row.name in passthrough:
+                for j in row.f:  # absolute indices; -1 = the model input
+                    if j >= 0 and j not in det_srcs:
+                        det_srcs.add(j)
+                        frontier.append(j)
         self._quant_skip = det_srcs
         if self.stem_s2d:
             _check_stem_s2d(self.spec, self.quant)

@@ -206,6 +206,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = to_compute(x, self.dtype)  # fp8-stored input (standalone BN row)
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.97,
@@ -256,10 +257,16 @@ def act_store_scope(dtype):
 
 
 def _store_act(y, train: bool):
-    """Cast a block output to the scoped storage dtype (eval only)."""
+    """Cast a block output to the scoped storage dtype (eval only).
+
+    Tensors with a 1x1 spatial map (channel-attention gates, global-pool
+    branches) are left in the compute dtype: they are a few KB of HBM, and
+    quantizing the statistics that gate entire feature maps buys nothing."""
     st = _ACT_STORE.get()
     if (st is None or train or not isinstance(y, jax.Array)
             or y.dtype == st or not jnp.issubdtype(y.dtype, jnp.floating)):
+        return y
+    if y.ndim >= 3 and math.prod(y.shape[1:-1]) <= 1:
         return y
     return y.astype(st)
 
@@ -308,18 +315,24 @@ def dus_concat(xs, axis=-1):
     return buf
 
 
+def widen_mixed(xs):
+    """Unify a part list with mixed storage/compute dtypes (an fp8-stored
+    part next to a bf16 one, e.g. at a det-src exclusion boundary or a
+    1x1-spatial no-store branch) to the widest compute dtype, for a
+    materialized concat. No-op when dtypes already agree."""
+    if len({v.dtype for v in xs}) > 1:
+        wide = jnp.result_type(*[jnp.bfloat16 if v.dtype in _F8_DTYPES
+                                 else v.dtype for v in xs])
+        xs = [v.astype(wide) for v in xs]
+    return list(xs)
+
+
 def maybe_cat(xs, axis=-1):
     """Return the list (implicit concat) when every part is MXU-wide enough,
     else materialize the concat."""
     if all(v.shape[-1] >= SPLIT_CONV_MIN_PART for v in xs):
         return list(xs)
-    if len({v.dtype for v in xs}) > 1:
-        # mixed storage/compute dtypes (an fp8-stored part next to a bf16
-        # one, e.g. at a det-src exclusion boundary): concat in the widest
-        wide = jnp.result_type(*[jnp.bfloat16 if v.dtype in _F8_DTYPES
-                                 else v.dtype for v in xs])
-        xs = [v.astype(wide) for v in xs]
-    return jnp.concatenate(xs, axis=axis)
+    return jnp.concatenate(widen_mixed(xs), axis=axis)
 
 
 def qt_maybe_cat(xs):
@@ -491,19 +504,17 @@ class Bottleneck(nn.Module):
         use_res = self.shortcut and c_in == self.c2
         y = ConvBnAct(c_, 1, 1, dtype=self.dtype, quant=self.quant,
                       name="cv1")(x, train)
-        if use_res and self.quant is not None:
-            # fold the shortcut add into cv2's epilogue: the calibrated
-            # cv2/out site covers the summed tensor, and the int8 path
-            # reads the residual in-register (no separate add pass)
+        if use_res:
+            # fold the shortcut add into cv2's epilogue: the int8 path reads
+            # the residual in-register (calibrated cv2/out covers the sum),
+            # the fp path adds in the compute dtype and stores ONCE (no
+            # intermediate fp8 round-trip of cv2's output under act_store)
+            res = x if self.quant is not None else to_compute(x, self.dtype)
             return ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
                              quant=self.quant, name="cv2")(
-                y, train, residual=x)
-        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
-                      quant=self.quant, name="cv2")(y, train)
-        if use_res:
-            return _store_act(
-                to_compute(x, self.dtype) + to_compute(y, self.dtype), train)
-        return y
+                y, train, residual=res)
+        return ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
+                         quant=self.quant, name="cv2")(y, train)
 
 
 class BottleneckCSP(nn.Module):
@@ -788,7 +799,10 @@ class GhostBottleneck(nn.Module):
             )
         else:
             sc = x if c1 == self.c2 else None
-        return y + sc if sc is not None else y
+        if sc is None:
+            return y
+        return _store_act(
+            to_compute(y, self.dtype) + to_compute(sc, self.dtype), train)
 
 
 class C3SPP(nn.Module):
@@ -868,6 +882,8 @@ class TransformerBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         if x.shape[-1] != self.c2:
             x = ConvBnAct(self.c2, dtype=self.dtype, name="conv")(x, train)
+        # tokens flow through raw Dense/attention adds — no fp8 operands
+        x = to_compute(x, self.dtype)
         b, h, w, c = x.shape
         p = x.reshape(b, h * w, c)
         p = p + nn.Dense(
@@ -897,7 +913,7 @@ class C3TR(nn.Module):
         y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
         y1 = TransformerBlock(c_, 4, self.n, self.dtype, name="m")(y1, train)
         y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
-        y = jnp.concatenate([y1, y2], axis=-1)
+        y = jnp.concatenate([y1, to_compute(y2, self.dtype)], axis=-1)
         return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
 
 
@@ -912,7 +928,9 @@ class ARM(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ConvBnAct(self.c2, 3, 1, dtype=self.dtype, name="conv")(x, train)
-        att = adaptive_avg_pool(feat, 1)
+        # pool in the compute dtype: the gate statistics scale the whole
+        # feature map and are a few KB — no reason to round them to fp8
+        att = adaptive_avg_pool(to_compute(feat, self.dtype), 1)
         att = ConvBnAct(self.c2, 1, 1, act=False, dtype=self.dtype, name="att_conv")(
             att, train
         )
@@ -960,8 +978,8 @@ class FFM(nn.Module):
         if isinstance(feat, QTensor):  # initializing
             feat = Q.dequantize(feat, self.dtype)
         att = jnp.mean(feat.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(
-            feat.dtype
-        )
+            self.dtype  # gate statistics stay in the compute dtype (fp8
+        )              # storage of a (B,1,1,C) tensor buys nothing)
         att = Conv2d(self.c2 // self.reduction, 1, use_bias=False, dtype=self.dtype,
                      name="att_fc1")(att)
         att = silu(att)
@@ -1032,7 +1050,7 @@ class GlobalBranch(nn.Module):
             n, _, _, c = g.data.shape
             data = jnp.broadcast_to(g.data, (n, out_hw[0], out_hw[1], c))
             return QTensor(data, g.scale)
-        g = adaptive_avg_pool(x, 1)
+        g = adaptive_avg_pool(to_compute(x, self.dtype), 1)
         g = ConvBnAct(self.c2, 1, dtype=self.dtype, quant=self.quant,
                       name="conv")(g, train)
         return resize_nearest(g, out_hw)
@@ -1236,7 +1254,7 @@ class PyramidPooling(nn.Module):
             feats.append(y)
         if self.as_list:
             return feats
-        return jnp.concatenate(feats, axis=-1)
+        return jnp.concatenate(widen_mixed(feats), axis=-1)
 
 
 class DAPPM(nn.Module):
@@ -1248,6 +1266,7 @@ class DAPPM(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        x = to_compute(x, self.dtype)  # raw pools/adds below (pre-norm style)
         h, w = x.shape[1:3]
 
         def bn_act_conv(y, c, k, name):
@@ -1349,7 +1368,7 @@ class CrossConv(nn.Module):
         y = BatchNorm(self.dtype, name="cv2_bn")(y, train)
         y = silu(y)
         if self.shortcut and x.shape[-1] == self.c2 and self.s == 1:
-            return x + y
+            return _store_act(to_compute(x, self.dtype) + y, train)
         return y
 
 
@@ -1363,6 +1382,7 @@ class Sum(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
+        xs = [to_compute(v, self.dtype) for v in xs]
         y = xs[0]
         if self.weight:
             w = self.param(

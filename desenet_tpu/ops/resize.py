@@ -77,7 +77,9 @@ def _apply_separable(x: jax.Array, mh: np.ndarray, mw: np.ndarray) -> jax.Array:
     fp32 passes would triple the pass count on the production path.
     """
     dt = x.dtype
-    if dt == jnp.bfloat16:
+    if dt == jnp.bfloat16 or dt in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+        # fp8 = STORAGE dtype of a bf16-compute model (layers.act_store_scope)
+        # — resample on the bf16 fast path, not the fp32 parity path
         prec = jax.lax.Precision.DEFAULT
         cdt = jnp.bfloat16
     else:

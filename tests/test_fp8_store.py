@@ -54,8 +54,10 @@ def test_eval_close_but_not_identical(models):
     # [0,1] — compare decoded tensors with a scale-aware tolerance)
     np.testing.assert_allclose(dec8, dec0, rtol=0.35,
                                atol=0.05 * np.abs(dec0).max())
-    np.testing.assert_allclose(seg8, seg0, rtol=0.35,
-                               atol=0.05 * np.abs(seg0).max())
+    # seg logits at init are tiny (~1e-2 absmax): near-zero entries make
+    # rtol meaningless — gate on absolute error vs the logit scale instead
+    np.testing.assert_allclose(seg8, seg0, rtol=0,
+                               atol=0.1 * np.abs(seg0).max())
 
 
 def test_storage_dtypes_and_det_src_exclusion(models):
@@ -92,3 +94,51 @@ def test_act_store_quant_mutually_exclusive():
 
     with pytest.raises(ValueError):
         build_model(CFG, act_store="fp8", quant=QuantCfg(mode="int8"))
+
+
+def test_exotic_blocks_under_act_store():
+    """Blocks with raw residual adds / token mixing (C3TR, CrossConv,
+    GhostBottleneck, standalone BN, Sum-style paths) must trace and stay
+    finite with fp8-stored inputs — fp8+bf16 has no implicit promotion, so
+    any missed to_compute guard raises at trace time."""
+    from test_exotic_blocks import EXOTIC_CFG
+
+    model, spec = build_model(dict(EXOTIC_CFG), dtype=jnp.bfloat16,
+                              act_store="fp8")
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    x = jnp.linspace(0, 1, 64 * 64 * 3,
+                     dtype=jnp.float32).reshape(1, 64, 64, 3)
+    (dec, feats), seg = model.apply(variables, x.astype(jnp.bfloat16),
+                                    train=False)
+    assert np.all(np.isfinite(np.asarray(dec, np.float32)))
+
+
+def test_det_src_exclusion_propagates_through_passthrough_rows():
+    """A Detect fed by a Concat/Upsample row must still receive bf16: the
+    exclusion expands through pass-through rows to the producing layers."""
+    cfg = {
+        "de_nc": 2,
+        "depth_multiple": 1.0,
+        "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [
+            [-1, 1, "Focus", [16, 3]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "C3", [32]],
+        ],
+        "head": [
+            [[1, 2], 1, "Concat", [-1]],
+            [[-1], 1, "Detect", ["de_nc", "anchors"]],
+        ],
+    }
+    model, spec = build_model(cfg, dtype=jnp.bfloat16, act_store="fp8")
+    variables = init_model(model, jax.random.PRNGKey(0), img_size=64)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3),
+                           jnp.bfloat16)
+    # layers 1/2 produce the Concat that feeds Detect: they must stay bf16
+    for i in (1, 2):
+        out = model.apply(variables, x, train=False, up_to=i)
+        assert out.dtype == jnp.bfloat16, f"l{i} feeds Detect via Concat"
+    concat_out = model.apply(variables, x, train=False, up_to=3)
+    parts = concat_out if isinstance(concat_out, list) else [concat_out]
+    assert all(p.dtype == jnp.bfloat16 for p in parts)
