@@ -236,6 +236,10 @@ class Predictor:
         lb = [letterbox(im, self.imgsz, auto=False, stride=self.stride)
               for im in imgs0]
         rgb = [np.ascontiguousarray(x[0][:, :, ::-1]) for x in lb]
+        # network-input HW BEFORE any layout packing: with stem_s2d the
+        # staged batch is (N, H/4, W/4, 48) and its shape must not feed the
+        # letterbox-undo math below
+        h, w = rgb[0].shape[:2]
         if self.stem_s2d:
             from desenet_tpu.native import assemble_batch_s2d4
             batch = assemble_batch_s2d4(rgb)
@@ -250,7 +254,6 @@ class Predictor:
         classes = np.asarray(nms.classes)
         nums = np.asarray(nms.num)
         seg_np = np.asarray(seg_cls)
-        h, w = batch.shape[1:3]
 
         xyxy, masks = [], []
         for i, im0 in enumerate(imgs0):

@@ -97,6 +97,31 @@ def test_predictor_api(train_run, micro_root):
     assert rendered[0].shape == (96, 96, 3)
 
 
+def test_predictor_stem_s2d_geometry_parity(train_run, micro_root):
+    """stem_s2d auto-enables on real TPUs; force it on CPU and check the
+    Predictor returns the same boxes/masks as the plain path. Regression for
+    the s2d4 batch layout (N, H/4, W/4, 48) leaking into the letterbox-undo
+    math (boxes were scaled from H/4 instead of the network input size)."""
+    from desenet_tpu.api import load_predictor
+
+    w = os.path.join(train_run["save_dir"], "last")
+    img = os.path.join(micro_root, "Images", "val", "img_0001.jpg")
+    # near-zero conf: NMS returns real decoded boxes regardless of how well
+    # the 2-epoch micro model trained, so the geometry comparison has signal
+    kw = dict(imgsz=64, half=False, conf_thres=1e-6, max_det=20)
+    plain = load_predictor(w, stem_s2d=False, **kw)
+    s2d = load_predictor(w, stem_s2d=True, **kw)
+    assert s2d.stem_s2d is True  # must not have fallen back
+    r0, r1 = plain([img]), s2d([img])
+    # non-vacuity: the comparison must have signal to catch geometry bugs
+    assert len(r0.xyxy[0]) > 0
+    assert r0.xyxy[0].shape == r1.xyxy[0].shape
+    np.testing.assert_allclose(r0.xyxy[0], r1.xyxy[0], atol=0.5)
+    assert r0.masks[0].shape == r1.masks[0].shape
+    # exact stem rewrite: masks agree up to f32 summation-order argmax ties
+    assert (r0.masks[0] != r1.masks[0]).mean() < 0.02
+
+
 def test_validator_on_checkpoint(train_run, micro_root):
     from desenet_tpu.cli.val import run
 

@@ -16,7 +16,11 @@ lives in PARITY.md (4-decimal agreement with the reference val pipeline).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
