@@ -65,6 +65,9 @@ def parse_opt(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--spatial", type=int, default=1,
+                   help="spatial-partitioning factor: shard image height "
+                        "over a 2nd mesh axis (devices = data x spatial)")
     p.add_argument("--no-tb", action="store_true")
     p.add_argument("--noautoanchor", action="store_true")
     p.add_argument("--multi-scale", action="store_true")
@@ -141,7 +144,7 @@ def main(argv=None):
         patience=o.patience, seed=o.seed, max_targets=o.max_targets,
         noval=o.noval, nosave=o.nosave, save_period=o.save_period,
         det_gain=o.det_gain, seg_gain=o.seg_gain, dtype=o.dtype,
-        n_devices=o.n_devices, use_tb=not o.no_tb,
+        n_devices=o.n_devices, spatial=o.spatial, use_tb=not o.no_tb,
         noautoanchor=o.noautoanchor, multi_scale=o.multi_scale,
         image_weights=o.image_weights, nbs=o.nbs,
         warmup_floor=o.warmup_floor, remat=o.remat, wandb=o.wandb,

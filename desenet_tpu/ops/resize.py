@@ -144,17 +144,75 @@ def adaptive_avg_pool(x: jax.Array, out_hw) -> jax.Array:
     )
 
 
+def _neg_inf(dtype):
+    return (-jnp.inf if jnp.issubdtype(dtype, jnp.floating)
+            else np.asarray(jnp.iinfo(dtype).min, dtype)[()])
+
+
+def _max_pool_1d(x: jax.Array, k: int, axis: int) -> jax.Array:
+    dims, pads = [1, 1, 1, 1], [(0, 0)] * 4
+    dims[axis] = k
+    pads[axis] = (k // 2, k // 2)
+    return jax.lax.reduce_window(
+        x, _neg_inf(x.dtype), jax.lax.max,
+        window_dimensions=tuple(dims), window_strides=(1, 1, 1, 1),
+        padding=pads,
+    )
+
+
+def _shift(x, d: int, axis: int, fill):
+    """x_{i+d} at position i; out-of-range positions take `fill`."""
+    if d == 0:
+        return x
+    n = x.shape[axis]
+    if abs(d) >= n:
+        return jnp.full_like(x, fill)
+    pads = [(0, 0, 0)] * x.ndim
+    if d > 0:
+        x = jax.lax.slice_in_dim(x, d, n, axis=axis)
+        pads[axis] = (0, d, 0)
+    else:
+        x = jax.lax.slice_in_dim(x, 0, n + d, axis=axis)
+        pads[axis] = (-d, 0, 0)
+    return jax.lax.pad(x, jnp.asarray(fill, x.dtype), pads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _max_pool_1d_vjp(x, k: int, axis: int):
+    return _max_pool_1d(x, k, axis)
+
+
+def _mp1_fwd(x, k, axis):
+    y = _max_pool_1d(x, k, axis)
+    return y, (x, y)
+
+
+def _mp1_bwd(k, axis, res, g):
+    # Mask-based max-pool backward: dx_i = sum_{|d|<=k//2} [x_i == y_{i+d}]
+    # * g_{i+d}. Replaces XLA's select_and_scatter VJP, which (a) GSPMD
+    # miscompiles under spatial sharding (measured: rel grad error ~1.0 at
+    # H=40/k=5 on an H-sharded mesh) and (b) lowers notoriously slowly on
+    # TPU. Semantics delta: a window with several exactly-tied maxima routes
+    # gradient to every tied element (select_and_scatter picks one) —
+    # measure-zero on float activations.
+    x, y = res
+    r = k // 2
+    dx = jnp.zeros_like(g)
+    for d in range(-r, r + 1):
+        y_sh = _shift(y, d, axis, _neg_inf(y.dtype))
+        g_sh = _shift(g, d, axis, 0) if d else g
+        dx = dx + jnp.where(x == y_sh, g_sh, jnp.zeros_like(g_sh))
+    return (dx,)
+
+
+_max_pool_1d_vjp.defvjp(_mp1_fwd, _mp1_bwd)
+
+
 def max_pool_same(x: jax.Array, k: int) -> jax.Array:
     """MaxPool2d(kernel=k, stride=1, padding=k//2) on NHWC — the SPP pools
     (reference common.py:179). -inf padding == torch behavior for stride 1,
-    pad k//2 (window always overlaps valid data)."""
-    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-           else np.asarray(jnp.iinfo(x.dtype).min, x.dtype)[()])
-    return jax.lax.reduce_window(
-        x,
-        neg,
-        jax.lax.max,
-        window_dimensions=(1, k, k, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)),
-    )
+    pad k//2 (window always overlaps valid data).
+
+    Computed separably (max over H, then W — identical for square stride-1
+    windows) with a custom shifted-compare VJP; see _mp1_bwd for why."""
+    return _max_pool_1d_vjp(_max_pool_1d_vjp(x, k, 1), k, 2)

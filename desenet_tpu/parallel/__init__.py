@@ -3,6 +3,8 @@ from desenet_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     batch_sharding,
+    spatial_sharding,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding",
+           "spatial_sharding"]

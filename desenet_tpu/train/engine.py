@@ -29,7 +29,7 @@ from desenet_tpu.losses import DetectionLoss
 from desenet_tpu.models import build_model, config_path, init_model
 from desenet_tpu.models.heads import Detect
 from desenet_tpu.parallel import make_mesh, shard_batch
-from desenet_tpu.parallel.mesh import replicate_tree
+from desenet_tpu.parallel.mesh import check_spatial, replicate_tree
 from desenet_tpu.train import create_train_state, make_train_step, one_cycle
 from desenet_tpu.train.optim import OptimConfig
 from desenet_tpu.train.schedule import linear_lr
@@ -112,6 +112,10 @@ class TrainConfig:
     quad: bool = False  # quad collate: groups of 4 -> 2x2 super-image or
     # 2x upscale (train.py --quad, mixed_datasets.py collate_fn4)
     freeze: int = 0  # freeze first N layers (train.py:137-143)
+    spatial: int = 1  # spatial-partitioning factor: 2D (data, spatial) mesh
+    # with image/label HEIGHT sharded over 'spatial' (parallel/mesh.py) —
+    # for when per-device batch would drop below 1 (huge images/many chips).
+    # imgsz must keep the deepest feature map >= 2 rows/shard (check_spatial)
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -313,12 +317,24 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     # --quad collate emits batch_size//4 images per batch (collate_quad);
     # device count must divide the EFFECTIVE per-batch image count
     eff_bs = cfg.batch_size // 4 if cfg.quad else cfg.batch_size
-    n_dev = next(d for d in range(min(n_avail, eff_bs), 0, -1)
-                 if eff_bs % d == 0)
+    sp = max(cfg.spatial, 1)
+    if n_avail % sp:
+        raise ValueError(
+            f"--spatial {sp} must divide the device count ({n_avail})")
+    dp_avail = n_avail // sp
+    n_dp = next(d for d in range(min(dp_avail, eff_bs), 0, -1)
+                if eff_bs % d == 0)
+    n_dev = n_dp * sp
     if n_dev != n_avail:
         LOGGER.info("using %d of %d devices (batch %d divisibility)", n_dev,
                     n_avail, eff_bs)
-    mesh = make_mesh(n_dev)
+    mesh = make_mesh(n_dev, spatial=sp)
+    if sp > 1:
+        smax = max(spec.det_strides)
+        # multi-scale floors at the 0.5x stride-rounded bucket
+        min_sz = ((imgsz // 2) // smax * smax) if cfg.multi_scale else imgsz
+        check_spatial(mesh, min_sz, max_stride=smax)
+        LOGGER.info("mesh: %d-way data x %d-way spatial", n_dp, sp)
     _mesh_holder["mesh"] = mesh
 
     state = create_train_state(variables, opt_cfg)

@@ -188,6 +188,36 @@ def test_multiscale_and_image_weights(micro_root, tmp_path_factory):
     assert all(np.isfinite(float(v)) for v in vals)
 
 
+def test_train_spatial_partitioned(micro_root, tmp_path_factory):
+    """--spatial 2 end-to-end: the engine builds a (data x spatial) mesh,
+    shards image/label height, and trains to finite losses. 128px is the
+    floor for spatial=2 at stride 32 (check_spatial); 64px must be rejected
+    up front."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    out = tmp_path_factory.mktemp("runs_sp")
+    cfg = TrainConfig(
+        data=os.path.join(micro_root, "data.yaml"),
+        cfg=os.path.join(HERE, "configs", "tiny_psp2.yaml"),
+        epochs=1, batch_size=4, imgsz=128, workers=2,
+        project=str(out), name="sp", exist_ok=True,
+        dtype="float32", nbs=4, warmup_floor=4, noautoanchor=True,
+        use_tb=False, max_targets=32, noval=True, spatial=2,
+    )
+    res = train(cfg)
+    with open(os.path.join(res["save_dir"], "results.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 2
+    vals = [v for v in lines[-1].split(",") if v != ""]
+    assert all(np.isfinite(float(v)) for v in vals)
+
+    from dataclasses import replace
+    with pytest.raises(ValueError, match="below"):
+        train(replace(cfg, imgsz=64, name="sp_bad"))
+
+
 def test_detect_cli_video(train_run, micro_root, tmp_path_factory):
     """End-to-end video path: LoadImages video iteration + detect CLI's
     cv2.VideoWriter output (reference scripts/detect.py:256-268)."""

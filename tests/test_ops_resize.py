@@ -1,6 +1,7 @@
 """Resize / pooling parity vs torch (the exact semantics the seg head needs)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -91,3 +92,39 @@ def test_resize_nearest_unequal_integer_factors():
     g = jnp.ones((2, 1, 1, 4))
     yg = resize_nearest(g, (5, 3))
     assert yg.shape == (2, 5, 3, 4)
+
+
+def test_max_pool_same_vjp_matches_torch():
+    """The custom shifted-compare max-pool VJP (ops/resize.py _mp1_bwd —
+    replaces select_and_scatter, which GSPMD miscompiles under spatial
+    sharding) must match torch's maxpool backward on tie-free inputs."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 13, 13, 5)).astype(np.float32)
+    for k in (3, 5, 13):
+        xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)), requires_grad=True)
+        y = F.max_pool2d(xt, kernel_size=k, stride=1, padding=k // 2)
+        (y ** 2).sum().backward()
+        exp = np.transpose(xt.grad.numpy(), (0, 2, 3, 1))
+
+        f = lambda a: (max_pool_same(a, k) ** 2).sum()
+        got = np.asarray(jax.grad(f)(jnp.asarray(x)))
+        np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_max_pool_same_vjp_tie_splitting():
+    """On exact ties the custom VJP routes gradient to every tied max (torch
+    picks one) — documented delta. All-ones input: every element ties, so
+    dx_i = g * (#windows containing i along H) * (#windows along W)."""
+    import numpy as np
+
+    x = jnp.ones((1, 4, 4, 1), jnp.float32)
+    g = np.asarray(jax.grad(lambda a: (max_pool_same(a, 3) * 2.0).sum())(x))
+    # k=3 stride-1 SAME on length 4: windows containing position i:
+    # i=0 -> 2, i=1 -> 3, i=2 -> 3, i=3 -> 2
+    per_axis = np.array([2, 3, 3, 2], np.float32)
+    np.testing.assert_allclose(g[0, :, :, 0], 2.0 * np.outer(per_axis,
+                                                             per_axis))

@@ -85,6 +85,70 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatial_sharded_step_matches_single_device():
+    """4x2 (data x spatial) mesh: images/labels split over batch AND height;
+    GSPMD inserts the conv halo exchanges and cross-shard BN reductions. The
+    train step must match the single-device result — spatial partitioning is
+    a layout choice, not a semantic one. 128px: the deepest feature map
+    (stride 32 -> 4 rows) keeps 2 rows per spatial shard, the validity floor
+    (parallel/mesh.py check_spatial)."""
+    from desenet_tpu.parallel.mesh import SPATIAL_AXIS, check_spatial
+
+    model, variables, opt, step = make_setup()
+    batch_np = make_batch(np.random.default_rng(0), b=8, s=128)
+    rng = jax.random.PRNGKey(3)
+
+    state1 = create_train_state(variables, opt)
+    state1, m1 = step(state1, jax.tree.map(jnp.asarray, batch_np), rng)
+
+    mesh = make_mesh(8, spatial=2)
+    assert mesh.shape == {"data": 4, SPATIAL_AXIS: 2}
+    check_spatial(mesh, 128)
+    state_s = create_train_state(variables, opt)
+    state_s = replicate_tree(state_s, mesh)
+    sharded = shard_batch(batch_np, mesh)
+    # the image really is split over height: each device holds (2, 64, 128, 3)
+    shard_shapes = {s.data.shape for s in sharded["image"].addressable_shards}
+    assert shard_shapes == {(2, 64, 128, 3)}
+    state_s, ms = step(state_s, sharded, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(ms["loss"]),
+                               rtol=1e-5)
+    _assert_tree_close(state1.params, state_s.params, 2e-4)
+    _assert_tree_close(state1.batch_stats, state_s.batch_stats, 2e-4)
+
+    # below the validity floor the mesh is rejected up front
+    with pytest.raises(ValueError, match="below"):
+        check_spatial(make_mesh(8, spatial=2), 64)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_spatial_sharded_eval_forward_matches():
+    """Eval forward (decode + seg logits) under a 4x2 data x spatial mesh
+    equals the single-device forward — the inference-side SP path (batch too
+    small to fill a slice with pure DP)."""
+    from desenet_tpu.parallel.mesh import spatial_sharding
+
+    model, variables, opt, _ = make_setup()
+    imgs = np.random.default_rng(5).uniform(0, 1, (4, 128, 128, 3)).astype(
+        np.float32)
+    mesh = make_mesh(8, spatial=2)
+
+    @jax.jit
+    def fwd(v, img):
+        (dec, feats), seg = model.apply(v, img, train=False)
+        return dec, seg
+
+    d1, s1 = fwd(variables, jnp.asarray(imgs))
+    sharded = jax.device_put(jnp.asarray(imgs), spatial_sharding(mesh))
+    ds, ss = fwd(replicate_tree(variables, mesh), sharded)
+    np.testing.assert_allclose(np.asarray(ds), np.asarray(d1),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(s1),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_grad_accumulation_under_sharding():
     """Multi-step run with accumulate=2 (nominal_bs=2*batch): the stepped
     cadence, accumulated grads, params, EMA and opt state must all match
