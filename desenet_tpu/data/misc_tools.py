@@ -96,3 +96,23 @@ def autosplit(path: str, weights=(0.9, 0.1, 0.0), seed: int = 0,
         with open(path.parent / txt[i], "a") as f:
             f.write("./" + str(img.relative_to(path.parent)) + "\n")
     return counts
+
+
+def rename_dataset_prefix(dataset_dir, new_name: str,
+                          old_names=("sidewalk", "step")):
+    """Batch-rename dataset files and directories whose basename starts with
+    one of ``old_names``: the first ``_``-separated token is replaced by
+    ``new_name`` (reference test/批量改数据集名.py — its dataset-merging
+    helper). Renames deepest-first so directory renames do not orphan the
+    files inside them. Returns the (old, new) path pairs."""
+    root = Path(dataset_dir)
+    prefixes = tuple(old_names)
+    renamed = []
+    for p in sorted(root.rglob("*"), key=lambda q: -len(q.parts)):
+        if p.name.startswith(prefixes):
+            new = p.with_name(
+                p.name.replace(p.name.split("_")[0], new_name))
+            if new != p:
+                p.rename(new)
+                renamed.append((str(p), str(new)))
+    return renamed

@@ -287,6 +287,42 @@ def save_one_box(xyxy, im, file="crop.jpg", gain=1.02, pad=10, square=False,
     return crop
 
 
+def apply_classifier(boxes_xyxy, classes, im0, classifier_fn, size=224):
+    """Second-stage classifier filter (reference general.py:808-840): square
+    each detection box, pad it 1.3x + 30 px, crop from the original image,
+    resize to `size`, batch the RGB 0-1 float crops through classifier_fn
+    (NHWC float32 -> class scores), and keep detections whose classifier
+    argmax agrees with the detector class. Returns a boolean keep mask.
+
+    The reference's detect.py ships this permanently disabled (classify =
+    False hardcoded, detect.py:79, and it needs an external resnet50.pt);
+    here it is a working library utility for any classifier, e.g. a model
+    built with a `Classify` head (models/layers.py). Crops are clipped to
+    the image like the reference's scale_coords-clipped boxes."""
+    import cv2
+    import numpy as _np
+
+    boxes = _np.asarray(boxes_xyxy, _np.float32).reshape(-1, 4)
+    classes = _np.asarray(classes).reshape(-1)
+    if len(boxes) == 0:
+        return _np.ones(0, bool)
+    cx, cy = (boxes[:, 0] + boxes[:, 2]) / 2, (boxes[:, 1] + boxes[:, 3]) / 2
+    side = _np.maximum(boxes[:, 2] - boxes[:, 0],
+                       boxes[:, 3] - boxes[:, 1]) * 1.3 + 30  # square + pad
+    h0, w0 = im0.shape[:2]
+    x1 = _np.clip((cx - side / 2).astype(int), 0, w0 - 1)
+    y1 = _np.clip((cy - side / 2).astype(int), 0, h0 - 1)
+    x2 = _np.clip((cx + side / 2).astype(int), 1, w0)
+    y2 = _np.clip((cy + side / 2).astype(int), 1, h0)
+    ims = []
+    for a1, b1, a2, b2 in zip(x1, y1, x2, y2):
+        cut = im0[b1:max(b2, b1 + 1), a1:max(a2, a1 + 1)]
+        im = cv2.resize(cut, (size, size))[:, :, ::-1]  # BGR -> RGB
+        ims.append(_np.ascontiguousarray(im, _np.float32) / 255.0)
+    pred_cls = _np.asarray(classifier_fn(_np.stack(ims))).argmax(1)
+    return pred_cls == classes.astype(pred_cls.dtype)
+
+
 def attempt_download(file, url: str = ""):
     """Reference google_utils.attempt_download fetches release assets; this
     build is zero-egress, so only local resolution is supported."""

@@ -147,3 +147,34 @@ def test_increment_path(tmp_path):
     p1 = increment_path(tmp_path / "exp", mkdir=True)
     p2 = increment_path(tmp_path / "exp", mkdir=True)
     assert p1.name == "exp" and p2.name == "exp2"
+
+
+def test_apply_classifier_filters_mismatches():
+    """Second-stage classifier filter (reference general.py:808-840): keeps
+    only detections whose classifier argmax equals the detector class; crop
+    geometry is square + 1.3x + 30px pad, clipped to the image."""
+    import numpy as np
+    from desenet_tpu.utils.general import apply_classifier
+
+    im0 = np.zeros((200, 300, 3), np.uint8)
+    im0[40:120, 50:150] = (0, 0, 255)     # red-ish region (BGR)
+    im0[130:190, 180:280] = (255, 0, 0)   # blue region
+    boxes = np.array([[50, 40, 150, 120], [180, 130, 280, 190],
+                      [0, 0, 20, 20]], np.float32)
+    classes = np.array([1, 0, 1])
+    seen = {}
+
+    def classifier(batch):  # NHWC float RGB 0-1 -> scores over 2 classes
+        seen["shape"] = batch.shape
+        red = batch[..., 0].mean(axis=(1, 2))
+        blue = batch[..., 2].mean(axis=(1, 2))
+        return np.stack([blue, red], 1)  # class1 = red, class0 = blue
+
+    keep = apply_classifier(boxes, classes, im0, classifier, size=64)
+    assert seen["shape"] == (3, 64, 64, 3)
+    # det0 says class1 over the red region (classifier agrees), det1 says
+    # class0 over blue (agrees), det2 claims class1 over black (classifier
+    # sees nothing red there -> argmax is a coin decided by zeros; blue==red
+    # ties argmax to 0 -> mismatch with claimed 1)
+    assert keep.tolist() == [True, True, False]
+    assert apply_classifier(np.zeros((0, 4)), [], im0, classifier).shape == (0,)

@@ -71,3 +71,22 @@ def test_local_sweep(tmp_path):
     assert os.path.isfile(evolve)
     assert len(open(evolve).read().strip().splitlines()) == 3  # header + 2
     assert os.path.isfile(os.path.join(proj, "hyp_evolve.yaml"))
+
+
+def test_rename_dataset_prefix(tmp_path):
+    """Reference test/批量改数据集名.py behavior: first '_' token of matching
+    file/dir basenames replaced, recursively, dirs included."""
+    from desenet_tpu.data.misc_tools import rename_dataset_prefix
+
+    root = tmp_path / "ds"
+    (root / "sidewalk_images").mkdir(parents=True)
+    (root / "sidewalk_images" / "sidewalk_001.jpg").write_bytes(b"x")
+    (root / "sidewalk_images" / "step_002.jpg").write_bytes(b"y")
+    (root / "other" ).mkdir()
+    (root / "other" / "keep.txt").write_text("z")
+
+    pairs = rename_dataset_prefix(root, "blind")
+    assert len(pairs) == 3
+    assert (root / "blind_images" / "blind_001.jpg").read_bytes() == b"x"
+    assert (root / "blind_images" / "blind_002.jpg").read_bytes() == b"y"
+    assert (root / "other" / "keep.txt").exists()
