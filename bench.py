@@ -24,7 +24,11 @@ import jax.numpy as jnp
 BATCH = 128
 SIZE = 640
 BASELINE_IMG_S = 2000.0  # BASELINE.md north-star target
-ITERS = 8  # 8 x (128,640,640,3) bf16 = 2.5 GB resident per input set
+# 24 iters x (128,160,160,48) bf16 = 7.4 GB per input set (warm set is
+# dropped before the timed set is made). The axon tunnel carries a fixed
+# ~22 ms round-trip per *call*; at ITERS=8 that under-reported the chip by
+# ~6% (2.75 ms/iter) — longer chains amortize the dispatch artifact.
+ITERS = 24
 
 
 def main():
@@ -73,6 +77,7 @@ def main():
     # identical args would hit the tunnel's replay cache)
     xs_warm = jax.block_until_ready(make_inputs(jax.random.PRNGKey(3)))
     float(chain(variables, xs_warm))  # compile + warm
+    del xs_warm  # free HBM before materializing the timed set
     xs = jax.block_until_ready(make_inputs(jax.random.PRNGKey(7)))
     t0 = time.perf_counter()
     float(chain(variables, xs))

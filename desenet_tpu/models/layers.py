@@ -1543,9 +1543,28 @@ class PhaseStemA(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = _name_conv_out(y)
         b, h, w, _ = y.shape
-        y = y.reshape(b, h, w, 4, self.c2)
-        y = BatchNorm(self.dtype, name="bn")(y, train)
-        return _store_act(silu(y).reshape(b, h, w, 4 * self.c2), train)
+        bn = BatchNorm(self.dtype, name="bn")
+        if train:
+            # batch statistics must be per ORIGINAL channel: fold the 2x2
+            # output phase into the reduction axes via the (4, c2) reshape
+            y = bn(y.reshape(b, h, w, 4, self.c2), True)
+            return _store_act(silu(y).reshape(b, h, w, 4 * self.c2), True)
+        # Eval: BN with running stats is a per-channel affine. Splitting the
+        # 128-lane minor dim for it costs a full relayout round trip of the
+        # stem's biggest tensor (~3.6 ms at b128, profile_layers_prod) and
+        # breaks conv-epilogue fusion — instead read the child's params and
+        # apply the affine tiled over the phase dim (channel order is
+        # (qy, qx, co), so jnp.tile matches the reshape semantics exactly).
+        _ = bn(jnp.zeros((1, 1, 1, 4, self.c2), self.dtype), False)  # bind
+        v = bn.variables
+        mean = v["batch_stats"]["bn"]["mean"].astype(jnp.float32)
+        var = v["batch_stats"]["bn"]["var"].astype(jnp.float32)
+        gamma = v["params"]["bn"]["scale"].astype(jnp.float32)
+        beta = v["params"]["bn"]["bias"].astype(jnp.float32)
+        s = gamma * jax.lax.rsqrt(var + 1e-3)
+        s128 = jnp.tile(s, 4).astype(self.dtype)
+        b128 = jnp.tile(beta - mean * s, 4).astype(self.dtype)
+        return _store_act(silu(y * s128 + b128), False)
 
 
 class PhaseStemB(nn.Module):

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from desenet_tpu.ops.resize import _linear_matrix
 
 
-def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n, h, w, c, ho, wo):
+def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n, h, w, c, ho, wo, mxu):
     # x_ref is (N, C, h, w): channel slices are leading-dim reads (Mosaic
     # cannot shape-cast a narrow minor dim inside vector registers). The N
     # images of a block are batched into ONE pair of stacked matmuls per
@@ -45,13 +45,13 @@ def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n, h, w, c, ho, wo):
         # w is zero-padded to a 128-lane multiple OUTSIDE the kernel so all
         # concat/slice offsets here are tile-aligned (Mosaic requirement).
         xc = jnp.concatenate(
-            [x_ref[i, ch].astype(jnp.float32) for i in range(n)], axis=1)
+            [x_ref[i, ch].astype(mxu) for i in range(n)], axis=1)
         rows = jnp.dot(mh_ref[:], xc,
                        preferred_element_type=jnp.float32)  # (ho, n*w)
         # column pass: images stacked along sublanes
         rows = jnp.concatenate(
             [rows[:, i * w:(i + 1) * w] for i in range(n)], axis=0)
-        plane = jnp.dot(rows, mwt_ref[:],
+        plane = jnp.dot(rows.astype(mxu), mwt_ref[:],
                         preferred_element_type=jnp.float32)  # (n*ho, wo)
         if ch == 0:
             best_val = plane
@@ -64,13 +64,18 @@ def _kernel(x_ref, mh_ref, mwt_ref, out_ref, *, n, h, w, c, ho, wo):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "align_corners",
-                                             "interpret"))
+                                             "interpret", "mxu_dtype"))
 def upsample_argmax(x: jax.Array, scale: int = 8, align_corners: bool = True,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    mxu_dtype=jnp.float32) -> jax.Array:
     """argmax_c(bilinear_resize(x, (h*scale, w*scale))) -> (B, H, W) uint8.
 
     x: (B, h, w, C) float logits (bf16/f32). Uses the Pallas kernel on TPU,
-    the XLA composition elsewhere.
+    the XLA composition elsewhere. `mxu_dtype` sets the matmul operand
+    precision: f32 bit-matches the f32 XLA composition; bf16 runs the MXU at
+    full rate (accumulation stays f32) and can flip argmax picks only where
+    the interpolated top-2 margin is below bf16 resolution — i.e. at class
+    boundaries that are already noise in the bf16 production logits.
     """
     b, h, w, c = x.shape
     ho, wo = h * scale, w * scale
@@ -80,12 +85,12 @@ def upsample_argmax(x: jax.Array, scale: int = 8, align_corners: bool = True,
         up = resize_bilinear(x.astype(jnp.float32), (ho, wo), align_corners)
         return jnp.argmax(up, axis=-1).astype(jnp.uint8)
 
-    mh = jnp.asarray(_linear_matrix(h, ho, align_corners))
+    mh = jnp.asarray(_linear_matrix(h, ho, align_corners), mxu_dtype)
     mwt = np.asarray(_linear_matrix(w, wo, align_corners).T)
     # pad the contracted dim to a 128-lane multiple: in-kernel concat/slice
     # offsets must be tile-aligned, and the zero rows contribute nothing
     wp = -(-w // 128) * 128
-    mwt = jnp.asarray(np.pad(mwt, ((0, wp - w), (0, 0))))
+    mwt = jnp.asarray(np.pad(mwt, ((0, wp - w), (0, 0))), mxu_dtype)
     xt = jnp.transpose(x, (0, 3, 1, 2))  # (B, C, h, w): lane-friendly slices
     if wp != w:
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
@@ -94,7 +99,8 @@ def upsample_argmax(x: jax.Array, scale: int = 8, align_corners: bool = True,
         if b % cand == 0:
             n = cand
             break
-    kernel = functools.partial(_kernel, n=n, h=h, w=wp, c=c, ho=ho, wo=wo)
+    kernel = functools.partial(_kernel, n=n, h=h, w=wp, c=c, ho=ho, wo=wo,
+                               mxu=mxu_dtype)
     full = lambda *s: pl.BlockSpec(s, lambda i: (0,) * len(s),
                                    memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -41,6 +41,21 @@ def test_bf16_input(rng):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_mxu_dtype_bf16_opt_in(rng):
+    # bf16 MXU operands (opt-in, measured ~neutral on v5e): picks may flip
+    # only where the interpolated top-2 margin is below bf16 resolution.
+    # On strongly-separated one-hot logits agreement must be near-total,
+    # and the kernel must run end to end.
+    cls = rng.integers(0, 4, (2, 8, 8))
+    x = jnp.asarray(10.0 * np.eye(4, dtype=np.float32)[cls], jnp.bfloat16)
+    got = np.asarray(upsample_argmax(x, scale=8, interpret=True,
+                                     mxu_dtype=jnp.bfloat16))
+    ref = np.asarray(jnp.argmax(resize_bilinear(
+        x.astype(jnp.float32), (64, 64), align_corners=True), -1))
+    assert got.shape == ref.shape and got.dtype == np.uint8
+    assert (got == ref).mean() > 0.99
+
+
 def test_seg_upsample_flag_returns_lowres():
     from desenet_tpu.models import build_model, config_path, init_model
 
