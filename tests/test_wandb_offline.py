@@ -104,6 +104,34 @@ def test_dataset_artifact_roundtrip(tmp_path):
     wl.on_train_end()
 
 
+def test_log_dataset_cli(tmp_path, monkeypatch):
+    # reference core/utils/loggers/wandb/log_dataset.py: standalone
+    # dataset-artifact upload writing a *_wandb.yaml config
+    import cv2
+    import yaml
+
+    from desenet_tpu.cli.log_dataset import main as log_dataset_main
+
+    for split in ("train", "val"):
+        d = tmp_path / split
+        d.mkdir()
+        cv2.imwrite(str(d / "im0.jpg"), np.zeros((8, 8, 3), np.uint8))
+    data_yaml = tmp_path / "data.yaml"
+    yaml.safe_dump({
+        "train": str(tmp_path / "train"), "val": str(tmp_path / "val"),
+        "de": {"nc": 2, "names": ["a", "b"]},
+        "se": {"nc": 2, "names": ["bg", "fg"]},
+    }, open(data_yaml, "w"))
+
+    monkeypatch.setenv("WANDB_DIR", str(tmp_path / "wandb"))
+    log_dataset_main(["--data", str(data_yaml), "--project", "t"])
+
+    out = yaml.safe_load(open(tmp_path / "data_wandb.yaml"))
+    assert out["train"].startswith(WANDB_ARTIFACT_PREFIX)
+    assert out["val"].startswith(WANDB_ARTIFACT_PREFIX)
+    assert out["de"]["names"] == ["a", "b"]
+
+
 def test_disabled_mode_is_noop(tmp_path):
     wl = make_logger(tmp_path, mode="disabled")
     assert not wl.enabled
