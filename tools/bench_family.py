@@ -1,0 +1,83 @@
+"""Model-family throughput: the bench.py program at s/m/l scale.
+
+Same methodology as bench.py (in-jit scan over pre-generated distinct
+inputs, one host sync; production config: stem_s2d host-s2d4 layout,
+seg_upsample=False + fused Pallas tail, fused NMS). Reference scaling
+story: gd/gw in the model yamls (yolo.py:458-463).
+
+    python tools/bench_family.py [--batch 128] [--iters 12] [--size 640] \
+        [--models s,m,l]
+
+Run alone on the chip (PERF.md env note: one host core; a concurrent
+process corrupts device timings).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--models", type=str, default="s,m,l")
+    args = ap.parse_args()
+
+    from desenet_tpu.models import build_model, config_path, init_model
+    from desenet_tpu.ops import non_max_suppression, PRE_TOPK_PRODUCTION
+    from desenet_tpu.ops.seg_pallas import upsample_argmax
+
+    B, S, ITERS = args.batch, args.size, args.iters
+    for name in args.models.split(","):
+        cfg = config_path(f"yolov5{name.strip()}_seg")
+        model, spec = build_model(cfg, dtype=jnp.bfloat16,
+                                  seg_upsample=False, stem_s2d=True)
+        variables = init_model(model, jax.random.PRNGKey(0), img_size=S,
+                               batch=1)
+        n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+
+        def digest(variables, x):
+            (dec, feats), seg = model.apply(variables, x, train=False)
+            nms = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
+                                      max_det=300,
+                                      pre_topk=PRE_TOPK_PRODUCTION)
+            seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
+            return (nms.boxes.sum() + nms.scores.sum()
+                    + nms.num.sum().astype(jnp.float32)
+                    + seg_cls.sum(dtype=jnp.int32).astype(jnp.float32))
+
+        @jax.jit
+        def make_inputs(key):
+            return jax.random.uniform(
+                key, (ITERS, B, S // 4, S // 4, 48), jnp.bfloat16)
+
+        @jax.jit
+        def chain(variables, xs):
+            return jax.lax.scan(
+                lambda c, x: (c + digest(variables, x), None), 0.0, xs)[0]
+
+        xs_warm = jax.block_until_ready(make_inputs(jax.random.PRNGKey(3)))
+        float(chain(variables, xs_warm))
+        del xs_warm
+        xs = jax.block_until_ready(make_inputs(jax.random.PRNGKey(7)))
+        t0 = time.perf_counter()
+        float(chain(variables, xs))
+        dt = (time.perf_counter() - t0) / ITERS
+        print(f"yolov5{name}_seg: {n_params / 1e6:.2f}M params  "
+              f"b{B}@{S}px  {dt * 1e3:.1f} ms/batch  "
+              f"{B / dt:.0f} img/s/chip")
+        del xs, variables
+
+
+if __name__ == "__main__":
+    main()
