@@ -1,0 +1,58 @@
+"""Serving CLI — micro-batching HTTP inference server (desenet_tpu/serve.py).
+
+    python -m desenet_tpu.cli.serve --weights runs/train/exp/best --port 8000
+
+POST image bytes to /predict (add ?mask=1 for the base64-PNG class mask);
+GET /healthz and /info for liveness and model metadata. Requests are
+dynamically micro-batched into power-of-two buckets so the device program
+compiles once per bucket and concurrent clients share one MXU pass. The
+reference has no serving entry point (its closest surface is the
+scripts/detect.py:36-62 file loop).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from desenet_tpu.api import Predictor
+from desenet_tpu.serve import InferenceServer
+from desenet_tpu.utils.general import set_logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--weights", required=True,
+                        help="checkpoint dir (orbax + meta.json)")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--img-size", type=int, default=640)
+    parser.add_argument("--conf-thres", type=float, default=0.25)
+    parser.add_argument("--iou-thres", type=float, default=0.45)
+    parser.add_argument("--max-det", type=int, default=300)
+    parser.add_argument("--max-batch", type=int, default=16,
+                        help="micro-batch cap (largest compiled bucket)")
+    parser.add_argument("--max-wait-ms", type=float, default=5.0,
+                        help="how long a request waits for batch-mates")
+    parser.add_argument("--no-half", action="store_true",
+                        help="run float32 instead of bfloat16")
+    args = parser.parse_args(argv)
+
+    set_logging()
+    predictor = Predictor(
+        args.weights, imgsz=args.img_size, conf_thres=args.conf_thres,
+        iou_thres=args.iou_thres, max_det=args.max_det,
+        half=not args.no_half,
+    )
+    server = InferenceServer(predictor, host=args.host, port=args.port,
+                             max_batch=args.max_batch,
+                             max_wait_ms=args.max_wait_ms)
+    print(f"serving {args.weights} on http://{args.host}:{server.port} "
+          f"(max_batch={args.max_batch}, max_wait={args.max_wait_ms}ms)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()
