@@ -23,7 +23,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--weights", required=True,
                         help="checkpoint dir (orbax + meta.json)")
-    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address; the endpoint is unauthenticated, "
+                             "so pass 0.0.0.0 explicitly to expose it")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--img-size", type=int, default=640)
     parser.add_argument("--conf-thres", type=float, default=0.25)
@@ -33,6 +35,11 @@ def main(argv=None):
                         help="micro-batch cap (largest compiled bucket)")
     parser.add_argument("--max-wait-ms", type=float, default=5.0,
                         help="how long a request waits for batch-mates")
+    parser.add_argument("--max-queue", type=int, default=None,
+                        help="queue bound before 503 shedding "
+                             "(default 4x max-batch)")
+    parser.add_argument("--max-body-mb", type=float, default=32.0,
+                        help="largest accepted request body (413 above)")
     parser.add_argument("--no-half", action="store_true",
                         help="run float32 instead of bfloat16")
     args = parser.parse_args(argv)
@@ -45,7 +52,9 @@ def main(argv=None):
     )
     server = InferenceServer(predictor, host=args.host, port=args.port,
                              max_batch=args.max_batch,
-                             max_wait_ms=args.max_wait_ms)
+                             max_wait_ms=args.max_wait_ms,
+                             max_queue=args.max_queue,
+                             max_body_bytes=int(args.max_body_mb * 1024 * 1024))
     print(f"serving {args.weights} on http://{args.host}:{server.port} "
           f"(max_batch={args.max_batch}, max_wait={args.max_wait_ms}ms)")
     try:

@@ -17,6 +17,13 @@ its throughput:
 - **one device thread**: a single worker owns all JAX dispatch; HTTP
   threads only decode/encode bytes, so the GIL-released device step never
   interleaves with tracing from another thread.
+- **bounded overload behavior**: the request queue is bounded
+  (`max_queue`, default 4x max_batch); when it is full new requests are
+  shed immediately with 503 instead of accumulating unboundedly. Requests
+  that hit the client-side timeout are cancelled and skipped at batch
+  assembly, so the device never spends time on an answer nobody is
+  waiting for. Bodies over `max_body_bytes` are rejected with 413 before
+  being read.
 
 Endpoints:
   GET  /healthz            -> {"ok": true}
@@ -54,7 +61,8 @@ def _bucket(n: int, max_batch: int) -> int:
 
 
 class _Pending:
-    __slots__ = ("img", "want_mask", "done", "result", "error")
+    __slots__ = ("img", "want_mask", "done", "result", "error", "cancelled",
+                 "t_submit")
 
     def __init__(self, img: np.ndarray, want_mask: bool):
         self.img = img
@@ -62,6 +70,11 @@ class _Pending:
         self.done = threading.Event()
         self.result: Optional[dict] = None
         self.error: Optional[str] = None
+        # set by the HTTP thread when its wait times out: the worker skips
+        # cancelled items at batch assembly (no device time for abandoned
+        # requests)
+        self.cancelled = False
+        self.t_submit = time.monotonic()
 
 
 class BatchRunner(threading.Thread):
@@ -69,27 +82,70 @@ class BatchRunner(threading.Thread):
     micro-batches and runs the Predictor once per batch."""
 
     def __init__(self, predictor, max_batch: int = 16,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_queue: Optional[int] = None):
         super().__init__(daemon=True)
         assert max_batch >= 1
         self.predictor = predictor
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
-        self.queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        # bounded: under sustained overload submit() sheds (503) instead of
+        # growing the queue until per-request timeouts fire
+        self.max_queue = max_queue if max_queue is not None else 4 * max_batch
+        self.queue: "queue.Queue[Optional[_Pending]]" = queue.Queue(
+            maxsize=self.max_queue)
         # gray letterbox-native dummy for bucket padding (content is
         # discarded; shape matches every letterboxed request)
         s = predictor.imgsz
         self._pad_img = np.full((s, s, 3), 114, np.uint8)
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
-                      "padded": 0}
+                      "padded": 0, "shed": 0, "cancelled": 0}
+        # ring of recent per-request latencies (submit -> done), seconds
+        self._latencies: List[float] = []
+        self._lat_idx = 0
         self._stop = False
 
-    def submit(self, pending: _Pending):
-        self.queue.put(pending)
+    def submit(self, pending: _Pending) -> bool:
+        """Enqueue a request. Returns False (caller answers 503) when the
+        queue is full or the runner is stopping."""
+        if self._stop:
+            return False
+        try:
+            self.queue.put_nowait(pending)
+            return True
+        except queue.Full:
+            self.stats["shed"] += 1
+            return False
 
     def stop(self):
         self._stop = True
-        self.queue.put(None)
+        # fail everything still queued immediately so HTTP threads don't
+        # block out their full request timeout during shutdown
+        while True:
+            try:
+                item = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.error = "server shutting down"
+                item.done.set()
+        try:
+            self.queue.put_nowait(None)  # wake the worker if it is blocked
+        except queue.Full:
+            pass
+
+    def _record_latency(self, seconds: float):
+        if len(self._latencies) < 1024:
+            self._latencies.append(seconds)
+        else:
+            self._latencies[self._lat_idx] = seconds
+            self._lat_idx = (self._lat_idx + 1) % 1024
+
+    def latency_percentiles(self) -> dict:
+        if not self._latencies:
+            return {"p50_ms": None, "p99_ms": None}
+        lat = np.asarray(self._latencies, np.float64) * 1e3
+        return {"p50_ms": round(float(np.percentile(lat, 50)), 2),
+                "p99_ms": round(float(np.percentile(lat, 99)), 2)}
 
     def run(self):
         while not self._stop:
@@ -97,7 +153,10 @@ class BatchRunner(threading.Thread):
                 first = self.queue.get(timeout=0.2)
             except queue.Empty:
                 continue
-            if first is None:
+            if first is None or first.cancelled:
+                if first is not None:
+                    self.stats["cancelled"] += 1
+                    first.done.set()
                 continue
             self._drain_once(first)
 
@@ -119,6 +178,10 @@ class BatchRunner(threading.Thread):
                 break
             if item is None:
                 break
+            if item.cancelled:  # waiter already gave up: skip, no device time
+                self.stats["cancelled"] += 1
+                item.done.set()
+                continue
             batch.append(item)
         if not batch:
             return 0
@@ -133,25 +196,33 @@ class BatchRunner(threading.Thread):
             res = self.predictor(imgs)
             dicts = res.to_dicts()
             for i, p in enumerate(batch):
-                out = {"detections": dicts[i], "num": len(dicts[i])}
-                if p.want_mask:
-                    import cv2
-                    ok, png = cv2.imencode(".png", res.masks[i])
-                    assert ok, "mask PNG encode failed"
-                    out["seg_png"] = base64.b64encode(
-                        png.tobytes()).decode("ascii")
-                    out["seg_names"] = list(self.predictor.se_names)
-                p.result = out
-        except Exception as e:  # propagate to every waiter, keep serving
+                # per-item post-processing in its own try: one bad mask
+                # encode must not 500 its batch-mates (their results are
+                # already computed)
+                try:
+                    out = {"detections": dicts[i], "num": len(dicts[i])}
+                    if p.want_mask:
+                        import cv2
+                        ok, png = cv2.imencode(".png", res.masks[i])
+                        assert ok, "mask PNG encode failed"
+                        out["seg_png"] = base64.b64encode(
+                            png.tobytes()).decode("ascii")
+                        out["seg_names"] = list(self.predictor.se_names)
+                    p.result = out
+                except Exception as e:
+                    p.error = f"{type(e).__name__}: {e}"
+        except Exception as e:  # batch-wide failure: propagate, keep serving
             for p in batch:
                 p.error = f"{type(e).__name__}: {e}"
         finally:
+            now = time.monotonic()
             self.stats["requests"] += n
             self.stats["batches"] += 1
             self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
                                                n)
             self.stats["padded"] += b - n
             for p in batch:
+                self._record_latency(now - p.t_submit)
                 p.done.set()
 
 
@@ -161,10 +232,14 @@ class InferenceServer:
 
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 8000,
                  max_batch: int = 16, max_wait_ms: float = 5.0,
-                 request_timeout_s: float = 60.0):
+                 request_timeout_s: float = 60.0,
+                 max_queue: Optional[int] = None,
+                 max_body_bytes: int = 32 * 1024 * 1024):
         self.runner = BatchRunner(predictor, max_batch=max_batch,
-                                  max_wait_ms=max_wait_ms)
+                                  max_wait_ms=max_wait_ms,
+                                  max_queue=max_queue)
         self.request_timeout_s = request_timeout_s
+        self.max_body_bytes = max_body_bytes
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -190,7 +265,9 @@ class InferenceServer:
                         "seg_names": list(p.se_names),
                         "imgsz": p.imgsz,
                         "max_batch": outer.runner.max_batch,
+                        "max_queue": outer.runner.max_queue,
                         "stats": dict(outer.runner.stats),
+                        "latency": outer.runner.latency_percentiles(),
                     })
                 else:
                     self._json(404, {"error": "not found"})
@@ -206,6 +283,12 @@ class InferenceServer:
                 if length <= 0:
                     self._json(400, {"error": "empty body"})
                     return
+                if length > outer.max_body_bytes:
+                    # reject before reading: a huge upload must not be
+                    # buffered into memory first
+                    self._json(413, {"error": "body too large "
+                                     f"(cap {outer.max_body_bytes} bytes)"})
+                    return
                 raw = self.rfile.read(length)
                 import cv2
                 img = cv2.imdecode(np.frombuffer(raw, np.uint8),
@@ -214,8 +297,13 @@ class InferenceServer:
                     self._json(400, {"error": "undecodable image"})
                     return
                 pending = _Pending(img, want_mask)
-                outer.runner.submit(pending)
+                if not outer.runner.submit(pending):
+                    self._json(503, {"error": "overloaded (queue full)"})
+                    return
                 if not pending.done.wait(outer.request_timeout_s):
+                    # mark cancelled so the worker skips it instead of
+                    # spending device time on an abandoned request
+                    pending.cancelled = True
                     self._json(503, {"error": "inference timeout"})
                     return
                 if pending.error is not None:
@@ -235,11 +323,15 @@ class InferenceServer:
         self._serve_thread.start()
 
     def stop(self):
-        self._httpd.shutdown()
+        # shutdown() blocks on the serve_forever loop — only call it if one
+        # is actually running (stop-before-start must not hang)
+        if self._serve_thread is not None:
+            self._httpd.shutdown()
         self._httpd.server_close()
         self.runner.stop()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=5)
+            self._serve_thread = None
 
     def serve_forever(self):
         self.runner.start()

@@ -58,7 +58,8 @@ def test_runner_batches_deterministically(predictor):
     served = runner._drain_once()
     assert served == 3
     assert runner.stats == {"requests": 3, "batches": 1,
-                            "max_batch_seen": 3, "padded": 1}
+                            "max_batch_seen": 3, "padded": 1,
+                            "shed": 0, "cancelled": 0}
     for p in pendings:
         assert p.done.is_set() and p.error is None
         assert isinstance(p.result["detections"], list)
@@ -156,3 +157,105 @@ def test_http_errors(server):
     assert status == 400
     status, payload = _post(server.port, b"x", path="/nope")
     assert status == 404
+
+
+def test_body_size_cap(predictor):
+    srv = InferenceServer(predictor, port=0, max_batch=2,
+                          max_body_bytes=1024)
+    srv.start()
+    try:
+        status, payload = _post(srv.port, b"\x00" * 2048)
+        assert status == 413 and "too large" in payload["error"]
+    finally:
+        srv.stop()
+
+
+def test_overload_sheds_with_503(predictor):
+    """Queue bound: with the worker not draining, submits past max_queue are
+    shed immediately instead of accumulating unboundedly."""
+    runner = BatchRunner(predictor, max_batch=2, max_wait_ms=1.0,
+                         max_queue=3)  # worker thread NOT started
+    accepted = [runner.submit(_Pending(_img(i), False)) for i in range(5)]
+    assert accepted == [True, True, True, False, False]
+    assert runner.stats["shed"] == 2
+    assert runner.queue.qsize() == 3  # bounded: nothing buffered past the cap
+
+
+def test_cancelled_requests_skipped_at_assembly(predictor):
+    """A request whose waiter timed out is skipped by the batch assembler —
+    no device time is spent on abandoned work."""
+    runner = BatchRunner(predictor, max_batch=8, max_wait_ms=1.0)
+    live = _Pending(_img(1), False)
+    dead = _Pending(_img(2), False)
+    dead.cancelled = True
+    runner.submit(dead)
+    runner.submit(live)
+    served = runner._drain_once()
+    assert served == 1
+    assert runner.stats["cancelled"] == 1
+    assert dead.done.is_set() and dead.result is None
+    assert live.result is not None and live.error is None
+
+
+def test_per_item_mask_failure_isolated(predictor, monkeypatch):
+    """One request's mask encode blowing up must not 500 its batch-mates."""
+    runner = BatchRunner(predictor, max_batch=8, max_wait_ms=1.0)
+    bad = _Pending(_img(3), want_mask=True)
+    good = _Pending(_img(4), want_mask=False)
+    import cv2 as _cv2
+
+    def boom(*a, **k):
+        raise RuntimeError("encode exploded")
+
+    monkeypatch.setattr(_cv2, "imencode", boom)
+    runner.submit(bad)
+    runner.submit(good)
+    runner._drain_once()
+    assert bad.error is not None and "encode exploded" in bad.error
+    assert good.error is None and good.result is not None
+
+
+def test_stop_fails_queued_requests_immediately(predictor):
+    """Shutdown drains the queue and unblocks waiters now, not after the
+    full request timeout; stop() before start() must not hang."""
+    runner = BatchRunner(predictor, max_batch=2)  # not started
+    stranded = _Pending(_img(5), False)
+    runner.submit(stranded)
+    runner.stop()
+    assert stranded.done.is_set() and "shutting down" in stranded.error
+    assert runner.submit(_Pending(_img(6), False)) is False  # post-stop shed
+
+    srv = InferenceServer(predictor, port=0)
+    srv.stop()  # never started: must return, not hang on shutdown()
+
+
+def test_sustained_overload_http(predictor):
+    """N threads > queue+batch capacity: every request resolves promptly as
+    either 200 or a 503 shed — no unbounded queueing, no hung clients."""
+    srv = InferenceServer(predictor, port=0, max_batch=2, max_wait_ms=1.0,
+                          max_queue=2, request_timeout_s=30.0)
+    srv.start()
+    try:
+        ok, png = cv2.imencode(".jpg", _img(9))
+        body = png.tobytes()
+        results = {}
+
+        def call(i):
+            results[i] = _post(srv.port, body)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert set(results) == set(range(12))
+        statuses = [s for s, _ in results.values()]
+        assert all(s in (200, 503) for s in statuses), statuses
+        assert statuses.count(200) >= 1  # the server kept serving
+        info = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/info", timeout=30).read())
+        assert info["latency"]["p50_ms"] is not None
+        assert info["max_queue"] == 2
+    finally:
+        srv.stop()
