@@ -251,12 +251,19 @@ def parse_opt(argv=None):
     p.add_argument("--project", type=str, default="runs/detect")
     p.add_argument("--name", type=str, default="exp")
     p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--matmul-precision", choices=["default", "high", "highest"],
+                   default="default",
+                   help="force true-f32 MXU matmuls (use with --no-half) to "
+                        "reproduce CPU-f32 parity numbers on TPU")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     set_logging()
     o = parse_opt(argv)
+    from desenet_tpu.utils.general import set_matmul_precision
+
+    set_matmul_precision(o.matmul_precision)
     return run(
         o.weights, o.source, o.img_size, o.conf_thres, o.iou_thres,
         o.max_det, o.save_txt, o.save_conf, o.save_crop, o.nosave, o.classes,

@@ -223,12 +223,21 @@ def parse_opt(argv=None):
                    help="store block activations in fp8 (bf16 compute; "
                         "eval-only; a wash on v5e — see PERF.md — wins on "
                         "fp8-native TPUs)")
+    p.add_argument("--matmul-precision", choices=["default", "high", "highest"],
+                   default="default",
+                   help="force true-f32 MXU matmuls (use with --no-half) to "
+                        "reproduce CPU-f32 parity numbers on TPU; TPU f32 "
+                        "otherwise runs a bf16 multi-pass (~1.5%% rel mAP "
+                        "drift, PARITY.md)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     set_logging()
     o = parse_opt(argv)
+    from desenet_tpu.utils.general import set_matmul_precision
+
+    set_matmul_precision(o.matmul_precision)
     if o.save_dir is None:
         # runs/val/exp, exp2, ... like the reference (val.py:172-173)
         from desenet_tpu.utils.general import increment_path

@@ -27,6 +27,23 @@ def set_logging(verbose: bool = True):
     )
 
 
+def set_matmul_precision(name: str):
+    """Set JAX's default matmul/conv precision for parity-grade eval.
+
+    TPU f32 matmuls default to a bf16 multi-pass ("default"), which drifts
+    val mAP ~1.5% rel vs CPU f32 (PARITY.md §2b). `highest` forces true-f32
+    MXU passes so on-device numbers reproduce the CPU parity gate. Only
+    meaningful with f32 params/inputs (``--no-half``): bf16 data has no
+    extra bits for the MXU to keep.
+    """
+    if name in (None, "default"):
+        return
+    assert name in ("high", "highest"), name
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", name)
+
+
 def colorstr(*input):
     """colorstr('blue', 'hello world') — ANSI colored string."""
     *args, string = input if len(input) > 1 else ("blue", "bold", input[0])

@@ -178,3 +178,31 @@ def test_apply_classifier_filters_mismatches():
     # ties argmax to 0 -> mismatch with claimed 1)
     assert keep.tolist() == [True, True, False]
     assert apply_classifier(np.zeros((0, 4)), [], im0, classifier).shape == (0,)
+
+
+def test_set_matmul_precision():
+    """--matmul-precision plumbing (cli/val.py, cli/detect.py): `highest`
+    flips jax's default matmul precision so TPU f32 matmuls run true-f32
+    passes (PARITY.md §2b drift escape hatch); `default` is a no-op."""
+    import jax
+
+    from desenet_tpu.utils.general import set_matmul_precision
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        set_matmul_precision("default")
+        assert jax.config.jax_default_matmul_precision == before
+        set_matmul_precision("highest")
+        assert jax.config.jax_default_matmul_precision == "highest"
+        with pytest.raises(AssertionError):
+            set_matmul_precision("bogus")
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
+
+
+def test_val_cli_accepts_matmul_precision_flag():
+    from desenet_tpu.cli.val import parse_opt
+
+    o = parse_opt(["--data", "d.yaml", "--weights", "w",
+                   "--matmul-precision", "highest"])
+    assert o.matmul_precision == "highest"
