@@ -25,6 +25,17 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: takes minutes on the 1-core host; excluded from the smoke "
+        "tier (`pytest -m 'not slow'`, <10 min)")
+    config.addinivalue_line(
+        "markers",
+        "chip: talks to the real TPU chip; never run concurrently with a "
+        "measurement (timings corrupt on the shared tunnel)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -393,3 +393,46 @@ def test_export_stablehlo_roundtrip(train_run, tmp_path):
                                atol=1e-4)
     np.testing.assert_array_equal(
         np.asarray(seg), np.asarray(jnp.argmax(segl, -1).astype(jnp.uint8)))
+
+
+def test_export_consumed_outside_framework(train_run, tmp_path):
+    """The exported artifact must be usable WITHOUT desenet_tpu: the
+    examples/consume_exported_model.py script imports only jax/numpy/stdlib
+    (AST-enforced here) and successfully runs the artifact in a fresh
+    subprocess."""
+    import ast
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    consumer = os.path.join(repo, "examples", "consume_exported_model.py")
+
+    # static guarantee: no framework imports in the consumer
+    tree = ast.parse(open(consumer).read())
+    mods = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            mods.update(a.name.split(".")[0] for a in node.names)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            mods.add(node.module.split(".")[0])
+    assert "desenet_tpu" not in mods, mods
+    assert mods <= {"json", "sys", "numpy", "jax", "PIL"}, mods
+
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import export_model
+
+    out = str(tmp_path / "model.stablehlo")
+    export_model.main([
+        os.path.join(train_run["save_dir"], "last"), out,
+        "--batch", "1", "--img-size", "64", "--fp32",
+    ])
+    img = np.random.default_rng(3).integers(0, 255, (50, 70, 3), np.uint8)
+    img_path = str(tmp_path / "img.npy")
+    np.save(img_path, img)
+    # empty PALLAS_AXON_POOL_IPS or the sitecustomize re-registers the TPU
+    # plugin and the cpu-lowered artifact refuses to run
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    proc = subprocess.run(
+        [sys.executable, consumer, out, img_path],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stderr
+    assert "detections" in proc.stdout and "seg class histogram" in proc.stdout
