@@ -372,7 +372,13 @@ class MixedDataset:
             if out is not None:
                 return out
         img = Image.open(path)
-        img = ImageOps.exif_transpose(img)
+        try:  # exif_transpose copies the whole image even when there is no
+            # orientation tag; only pay it when a rotation actually applies
+            rotated = img.getexif().get(0x0112, 1) != 1
+        except Exception:
+            rotated = True
+        if rotated:
+            img = ImageOps.exif_transpose(img)
         w0, h0 = img.size
         r = self.img_size / max(w0, h0)
         if r != 1:
@@ -644,7 +650,7 @@ def collate_quad(samples, max_targets: int = 128, rng=None):
                             interpolation=cv2.INTER_LINEAR)
             dl = dets[0].copy()
             sl = cv2.resize(segs[0].astype(np.uint8), (w * 2, h * 2),
-                            interpolation=cv2.INTER_NEAREST).astype(np.int32)
+                            interpolation=cv2.INTER_NEAREST)
         else:  # 2x2 tiling
             top = np.concatenate([imgs[0], imgs[1]], axis=1)
             bot = np.concatenate([imgs[2], imgs[3]], axis=1)
@@ -673,7 +679,7 @@ def collate_quad(samples, max_targets: int = 128, rng=None):
         "image": np.stack(out_imgs, 0),
         "det_targets": det_t,
         "det_mask": det_m,
-        "seg_labels": np.stack(out_segs, 0).astype(np.int32),
+        "seg_labels": np.stack(out_segs, 0).astype(np.uint8),
         "paths": out_paths,
         "shapes": out_shapes,
     }
@@ -709,7 +715,10 @@ def collate(samples, max_targets: int = 128):
         "image": assemble_batch(list(imgs)),
         "det_targets": det_t,
         "det_mask": det_m,
-        "seg_labels": np.stack(segs, 0).astype(np.int32),
+        # uint8: seg class ids are < 256 by construction; the narrow dtype
+        # quarters the collate memcpy and the host->device batch transfer
+        # (210 MB -> 52 MB at b128/640); consumers widen on-device
+        "seg_labels": np.stack(segs, 0).astype(np.uint8),
         "paths": list(paths),
         "shapes": list(shapes),
     }

@@ -14,6 +14,7 @@ epoch's permutation — equivalent to the reference's DistributedSampler
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -21,6 +22,13 @@ from typing import Callable, Iterator, Optional
 
 import cv2
 import numpy as np
+
+
+def available_cores() -> int:
+    try:
+        return len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return os.cpu_count() or 1
 
 from desenet_tpu.data.dataset import MixedDataset, collate, collate_quad
 
@@ -156,11 +164,15 @@ def create_mixed_dataloader(
         max_targets=max_targets, seed=seed, fast_decode=fast_decode,
         cache_images=cache_images,
     )
+    # cap at 2x the cores actually schedulable: decode/aug threads release
+    # the GIL but oversubscribing a small host REGRESSES throughput (1-core
+    # container: 8 workers run 2x slower than 2 — context-switch + allocator
+    # thrash on the mosaic canvases)
     loader = DataLoader(
         dataset,
         batch_size=batch_size,
         shuffle=augment if shuffle is None else shuffle,
-        workers=min(workers, batch_size, 8),
+        workers=min(workers, batch_size, 8, 2 * available_cores()),
         max_targets=max_targets,
         rank=rank,
         world_size=world_size,

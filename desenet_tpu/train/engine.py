@@ -424,7 +424,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                         _cv2.resize(m.astype(np.uint8), (nw, nh),
                                     interpolation=_cv2.INTER_NEAREST)
                         for m in batch["seg_labels"]
-                    ]).astype(np.int32)
+                    ])
             if not already_staged:
                 batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)

@@ -103,8 +103,11 @@ def make_train_step(
             det_total, comps = det_loss_fn(
                 det_feats, batch["det_targets"], batch["det_mask"]
             )
+            # masks arrive uint8 (collate keeps them narrow: 4x less host
+            # memcpy + host->device traffic at b128/640); widen on-device
             seg_l = segmentation_loss(
-                seg_out, batch["seg_labels"], aux_weight=seg_aux_weight
+                seg_out, batch["seg_labels"].astype(jnp.int32),
+                aux_weight=seg_aux_weight
             )
             total = det_gain * det_total + seg_gain * seg_l
             return total, (comps, seg_l, new_bs)
