@@ -7,19 +7,20 @@ BASELINE.md's north-star config (>=2000 img/s/chip on v5e).
 Methodology notes (this environment):
 - inputs are generated on-device from per-iteration PRNG keys: the axon
   tunnel replays identical (executable, args) pairs, so same-input timing
-  loops report fantasy numbers;
-- the timed region is an in-jit chain of N full inference steps with a single
-  host sync — per-call dispatch through the tunnel serializes on a ~30-70 ms
-  round-trip and would under-report the chip by ~2x;
-- the chain takes the iteration count as a *runtime* argument
-  (lax.fori_loop over a fixed-shape input stack), so ONE compiled executable
-  serves both the warm/calibration run and any degraded iteration count;
+  loops report fantasy numbers; warm and timed runs use two DISTINCT
+  input stacks (the warm stack is freed before the timed one is made);
+- the timed region is an in-jit lax.scan chain of ITERS full inference
+  steps with a single host sync — per-call dispatch through the tunnel
+  serializes on a ~30-70 ms round-trip and would under-report the chip by
+  ~2x. The scan's trip count is STATIC: a dynamic fori_loop count was
+  measured 6% slower (39.1 vs 36.8 ms/iter — XLA can't pipeline a
+  while-loop with an unknown trip count; PERF.md round 3);
 - a persistent compilation cache (.jax_cache/) makes reruns skip the
-  multi-minute tunnel compile entirely;
-- a wall-clock budget (env DESENET_BENCH_BUDGET_S) degrades the timed
-  iteration count 24 -> 8 -> 4 -> 2 instead of overrunning: a smaller honest
-  number always beats rc=124/no number. At ITERS=8 the residual per-call
-  dispatch artifact under-reports the chip by ~2-6% (PERF.md addenda V).
+  multi-minute tunnel compile (measured: 14 min cold -> <1 min warm
+  end-to-end). Compile time is the ONLY unbounded stage; everything after
+  it is seconds. DESENET_BENCH_BUDGET_S shrinks ITERS pre-compile when the
+  backend bring-up has already eaten the budget (smaller input stacks,
+  ~2-6% dispatch under-report at ITERS=8 — an honest smaller number).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -35,7 +36,7 @@ import jax.numpy as jnp
 
 # Persistent compile cache: first run through a healthy tunnel pays the
 # compile once; every later run (including the driver's end-of-round run)
-# deserializes in seconds. Harmless if the backend declines to serialize.
+# deserializes in seconds.
 jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -43,14 +44,14 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 BATCH = 128
 SIZE = 640
 BASELINE_IMG_S = 2000.0  # BASELINE.md north-star target
-# 24 iters x (128,160,160,48) bf16 = 7.4 GB input stack, generated on-device.
-# The axon tunnel carries a fixed ~22 ms round-trip per *call*; at ITERS=8
-# that under-reported the chip by ~6% (2.75 ms/iter) — longer chains amortize
-# the dispatch artifact, so 24 is used whenever the budget allows.
-ITERS_MAX = 24
-# Wall-clock budget for the WHOLE script. The driver historically killed the
-# bench at rc=124 with no number; degrade instead. Default leaves headroom
-# under a 30-minute external timeout even after a slow-tunnel compile.
+# 24 iters x (128,160,160,48) bf16 = 7.4 GB per input stack (the warm stack
+# is dropped before the timed one is made). The axon tunnel carries a fixed
+# ~22 ms round-trip per *call*; at ITERS=8 that under-reported the chip by
+# ~6% (2.75 ms/iter) — longer chains amortize the dispatch artifact.
+ITERS = int(os.environ.get("DESENET_BENCH_ITERS", "24"))
+# Wall-clock budget for the WHOLE script (driver timeouts historically
+# produced rc=124 with no number). Only the tunnel compile is unbounded;
+# if bring-up already burned most of the budget, degrade ITERS pre-compile.
 BUDGET_S = float(os.environ.get("DESENET_BENCH_BUDGET_S", "1500"))
 
 
@@ -70,16 +71,15 @@ def main():
     from desenet_tpu.ops import non_max_suppression, PRE_TOPK_PRODUCTION
     from desenet_tpu.ops.seg_pallas import upsample_argmax
 
+    mark("imports done")
     # seg_upsample=False: the head returns 1/8-res logits and the fused
     # Pallas tail does bilinear-8x + argmax in VMEM (ops/seg_pallas.py).
     # stem_s2d=True: inputs arrive in host space-to-depth-4 layout — the
     # loader folds the permutation into its batch-assembly memcpy
     # (native/fastops.cpp assemble_batch_s2d4; api.Predictor does the same)
     # — and l0/l1 run as MXU-deep phase convs (models/layers.py PhaseStem*)
-    mark("imports done")
     model, _ = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16,
                            seg_upsample=False, stem_s2d=True)
-    mark("model built")
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE, batch=1)
     mark("init_model done (backend up)")
 
@@ -94,49 +94,48 @@ def main():
             + seg_cls.sum(dtype=jnp.int32).astype(jnp.float32)
         )
 
+    # Pre-compile budget check: backend bring-up through a degraded tunnel
+    # can take many minutes on its own; shrink the chain when little budget
+    # is left so the remaining stages (input gen, two chain runs) stay cheap.
+    iters = ITERS
+    if remaining() < 120 and iters > 8:
+        iters = 8
+        print(f"# budget: {remaining():.0f}s left before compile "
+              f"-> degraded ITERS={iters}", flush=True)
+
     @jax.jit
     def make_inputs(key):
         # pre-generated varied inputs: the timed region is pure inference
         # (per-iteration on-device RNG is not part of the workload, and
         # identical inputs would be replayed by the axon tunnel)
         return jax.random.uniform(
-            key, (ITERS_MAX, BATCH, SIZE // 4, SIZE // 4, 48), jnp.bfloat16)
+            key, (iters, BATCH, SIZE // 4, SIZE // 4, 48), jnp.bfloat16)
 
+    # `variables` is CLOSED OVER, not passed as an argument: weights are
+    # compile-time constants, exactly as a deployed inference program bakes
+    # them (tools/export_model.py does the same). This frees XLA to pick
+    # weight layouts instead of honoring a parameter-layout contract —
+    # measured 6% faster than passing variables as an argument (39.0 ->
+    # 36.8 ms/iter; PERF.md round 3).
     @jax.jit
-    def chain(variables, xs, n):
-        # n is a runtime scalar: warm, calibration, and (possibly degraded)
-        # timed runs all reuse this one executable — and distinct n values
-        # keep every (executable, args) pair unique for the tunnel.
-        def body(i, carry):
-            return carry + infer_digest(variables, xs[i])
+    def chain(xs):
+        def body(carry, x):
+            return carry + infer_digest(variables, x), None
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        out, _ = jax.lax.scan(body, 0.0, xs)
+        return out
 
-    xs = jax.block_until_ready(make_inputs(jax.random.PRNGKey(7)))
+    # two distinct input stacks: warm on one, time the other (re-calling
+    # with identical args would hit the tunnel's replay cache)
+    xs_warm = jax.block_until_ready(make_inputs(jax.random.PRNGKey(3)))
     mark("inputs materialized")
-
-    # Compile + warm with a 2-iter pass; its post-compile duration calibrates
-    # the per-iteration cost for the budget decision below.
     t0 = time.perf_counter()
-    float(chain(variables, xs, jnp.int32(1)))  # pays the compile
-    t_compile = time.perf_counter() - t0
-    mark(f"chain compiled ({t_compile:.1f}s)")
+    float(chain(xs_warm))  # compile + warm
+    mark(f"chain compiled+warm ({time.perf_counter() - t0:.1f}s)")
+    del xs_warm  # free HBM before materializing the timed stack
+    xs = jax.block_until_ready(make_inputs(jax.random.PRNGKey(7)))
     t0 = time.perf_counter()
-    float(chain(variables, xs, jnp.int32(2)))  # warm, rough per-iter estimate
-    per_iter_est = (time.perf_counter() - t0) / 2
-
-    # Pick the largest iteration count that fits the remaining budget with a
-    # 2x safety factor (tunnel variance), never exceeding ITERS_MAX.
-    iters = 2
-    for cand in (4, 8, ITERS_MAX):
-        if cand * per_iter_est * 2 + 5.0 < remaining():
-            iters = cand
-    if iters < ITERS_MAX:
-        print(f"# budget: compile {t_compile:.0f}s, {remaining():.0f}s left "
-              f"-> degraded ITERS={iters}", flush=True)
-
-    t0 = time.perf_counter()
-    float(chain(variables, xs, jnp.int32(iters)))
+    float(chain(xs))
     dt = (time.perf_counter() - t0) / iters
 
     img_s = BATCH / dt

@@ -200,8 +200,12 @@ class Predictor:
                                                  range(self.spec.se_nc)]
         self.dtype = dtype
 
+        # weights are CLOSED OVER (compile-time constants), not jit
+        # arguments: a Predictor's weights never change after load, and
+        # freeing XLA from the parameter-layout contract measured 6% faster
+        # at b128/640 (39.0 -> 36.8 ms/iter, PERF.md round 3)
         @jax.jit
-        def _infer(variables, img_u8):
+        def _infer(img_u8):
             x = img_u8.astype(dtype) / 255.0
             (dec, _), seg = self.model.apply(variables, x, train=False)
             nms = non_max_suppression(
@@ -246,7 +250,7 @@ class Predictor:
         else:
             batch = np.stack(rgb)
         nms, seg_cls = jax.block_until_ready(
-            self._infer(self.variables, jnp.asarray(batch))
+            self._infer(jnp.asarray(batch))
         )
 
         boxes = np.asarray(nms.boxes)

@@ -166,18 +166,20 @@ def run_speed(data, weights, batch_size=32, imgsz=640, half=True):
                               se_nc=meta["se_nc"], dtype=dtype)
     from desenet_tpu.ops import non_max_suppression
 
+    # weights closed over as compile-time constants (fixed checkpoint):
+    # XLA picks its own weight layouts — 6% faster (PERF.md round 3)
     @jax.jit
-    def step(variables, key):
+    def step(key):
         x = jax.random.uniform(key, (batch_size, imgsz, imgsz, 3), dtype)
         (dec, _), seg = model.apply(variables, x, train=False)
         nms = non_max_suppression(dec, 0.001, 0.6, multi_label=True)
         return nms.num.sum() + jnp.argmax(seg, -1).sum(dtype=jnp.int32)
 
     k = jax.random.PRNGKey(0)
-    step(variables, k).block_until_ready()
+    step(k).block_until_ready()
     t0 = time.perf_counter()
     n = 8
-    outs = [step(variables, kk) for kk in jax.random.split(k, n)]
+    outs = [step(kk) for kk in jax.random.split(k, n)]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / n / batch_size * 1e3
     print(f"{dt:.2f} ms/image at batch {batch_size}, {imgsz}px")

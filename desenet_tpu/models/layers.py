@@ -419,7 +419,8 @@ class ConvBnAct(nn.Module):
         return Q.int8_conv_block(
             x, kernel, stride=self.s, padding=pad, dilation=self.d,
             groups=self.g, bn=bn, act=self._act_fn(), residual=residual,
-            out_scale=self.quant.scale_for(Q.site_key(self, "out")))
+            out_scale=self.quant.scale_for(Q.site_key(self, "out")),
+            in_mean=self.quant.mean_for(Q.site_key(self, "inmean")))
 
     def __call__(self, x, train: bool = False, residual=None):
         """``residual`` (optional): shortcut tensor added AFTER the
@@ -459,6 +460,7 @@ class ConvBnAct(nn.Module):
                                     for v in xs]).max(),
                          init_fn=lambda: jnp.asarray(0.0, jnp.float32),
                          reduce_fn=jnp.maximum)
+                Q.sow_channel_mean(self, "inmean", xs)
                 Q.sow_absmax(self, "out", y)
             elif q.is_int8:  # initializing
                 return Q.quantize(y, q.scale_for(Q.site_key(self, "out")))
@@ -571,7 +573,8 @@ class C3(nn.Module):
                                  self.variables["batch_stats"]["bn12"]["bn"])
         return Q.int8_conv_block(
             x, params["cv12"]["conv2d"]["kernel"], bn=bn, act=silu,
-            out_scale=self.quant.scale_for(Q.site_key(self, "cv12_out")))
+            out_scale=self.quant.scale_for(Q.site_key(self, "cv12_out")),
+            in_mean=self.quant.mean_for(Q.site_key(self, "cv12_inmean")))
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -596,6 +599,9 @@ class C3(nn.Module):
                 y = silu(y)
                 if q is not None and q.is_calib:
                     Q.sow_absmax(self, "cv12_out", y)
+                    Q.sow_channel_mean(
+                        self, "cv12_inmean",
+                        x if isinstance(x, (list, tuple)) else [x])
                 if q is not None and q.is_int8:  # initializing
                     y = Q.quantize(
                         y, q.scale_for(Q.site_key(self, "cv12_out")))

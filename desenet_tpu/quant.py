@@ -92,6 +92,12 @@ class QuantCfg:
     # calibration range statistic: 100.0 = absmax; else |y| percentile
     # (99.9 clips rare outliers => finer steps for the bulk — standard PTQ)
     calib_pct: float = 99.9
+    # weight-quantization bias correction (Nagel et al. 2019): subtract
+    # E[conv(x, W_q) - conv(x, W)] = sum_hwi (deq(q(W)) - W)[...,o] * E_x[i]
+    # from each conv epilogue, using calibrated per-channel input means.
+    # Trace-time constants — folds into the existing requant epilogue.
+    in_means: Tuple[Tuple[str, Tuple[float, ...]], ...] = ()
+    bias_correct: bool = False
 
     def scale_for(self, key: str) -> float:
         d = _scales_dict(self.scales)
@@ -100,6 +106,15 @@ class QuantCfg:
                 f"no calibrated scale for site {key!r}; re-run calibration "
                 f"({len(d)} sites known)")
         return d[key]
+
+    def mean_for(self, key: str):
+        """Calibrated per-channel input mean for a conv site (np.ndarray),
+        or None when absent / bias correction is off."""
+        if not self.bias_correct:
+            return None
+        d = _scales_dict(self.in_means)
+        v = d.get(key)
+        return None if v is None else np.asarray(v, np.float32)
 
     @property
     def is_calib(self) -> bool:
@@ -187,6 +202,7 @@ def int8_conv_block(
     residual: Optional[QTensor] = None,
     out_scale: Optional[float],  # None: return fp (out_dtype) instead of int8
     out_dtype=jnp.float32,
+    in_mean=None,  # (C_in,) calibrated input channel means -> bias correction
 ) -> Union[QTensor, jax.Array]:
     """Fused int8 conv + dequant -> (BN affine | bias) -> act (-> +residual)
     -> requant.
@@ -207,6 +223,18 @@ def int8_conv_block(
     parts = list(x) if isinstance(x, (list, tuple)) else [x]
     qw, s_w = quantize_kernel(kernel_f32)
     g = s_w * bn[0] if bn is not None else s_w
+    corr = None
+    if in_mean is not None and groups == 1:
+        # expected weight-quantization output shift per channel; the kernel
+        # taps each input channel once per spatial offset, so the conv's
+        # expected error is the tap-summed weight error against E_x (valid
+        # away from borders; padding rows contribute ~0 either way)
+        w_err = (qw.astype(jnp.float32) * s_w
+                 - kernel_f32.astype(jnp.float32))
+        corr = jnp.einsum("hwio,i->o", w_err,
+                          jnp.asarray(in_mean, jnp.float32))
+        if bn is not None:
+            corr = corr * bn[0]  # error passes through the BN scale
     acc = None
     off = 0
     for p in parts:
@@ -228,6 +256,8 @@ def int8_conv_block(
         acc = acc + bn[1]
     if bias is not None:
         acc = acc + bias.astype(jnp.float32)
+    if corr is not None:
+        acc = acc - corr
     if act is not None:
         acc = act(acc)
     if residual is not None:
@@ -269,23 +299,57 @@ def flatten_qcal(tree) -> Dict[str, float]:
     return out
 
 
-def calibrate_scales(model, variables, batches) -> Tuple[Tuple[str, float], ...]:
-    """Run calibration batches through a mode="calib" model; return the
-    static scales tuple for QuantCfg(mode="int8").
+def flatten_qmean(tree) -> Dict[str, np.ndarray]:
+    """Flatten a mutated ``qmean`` collection into {site_key: channel sums}
+    (divide by the batch count for means)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+        else:
+            v = node[0] if isinstance(node, (tuple, list)) else node
+            out["/".join(path)] = np.asarray(jax.device_get(v), np.float64)
+
+    walk(tree, ())
+    return out
+
+
+def calibrate_stats(model, variables, batches):
+    """Run calibration batches through a mode="calib" model; return
+    (scales, in_means) static tuples for QuantCfg(mode="int8").
 
     ``model`` must be built with quant=QuantCfg(mode="calib")
-    (see build_model). Scales are max-reduced across batches.
+    (see build_model). Scales are max-reduced across batches; per-channel
+    input means (for bias correction) are averaged across batches.
     """
     @jax.jit
     def run(variables, x):
-        _, mut = model.apply(variables, x, train=False, mutable=["qcal"])
-        return mut["qcal"]
+        _, mut = model.apply(variables, x, train=False,
+                             mutable=["qcal", "qmean"])
+        return mut["qcal"], mut.get("qmean", {})
 
     acc: Dict[str, float] = {}
+    mean_acc: Dict[str, np.ndarray] = {}
+    n = 0
     for x in batches:
-        for k, v in flatten_qcal(jax.device_get(run(variables, x))).items():
+        qcal, qmean = run(variables, x)
+        for k, v in flatten_qcal(jax.device_get(qcal)).items():
             acc[k] = max(acc.get(k, 0.0), v)
-    return tuple(sorted(acc.items()))
+        for k, v in flatten_qmean(jax.device_get(qmean)).items():
+            mean_acc[k] = mean_acc.get(k, 0.0) + v
+        n += 1
+    scales = tuple(sorted(acc.items()))
+    in_means = tuple(sorted(
+        (k, tuple(float(x) for x in v / max(n, 1)))
+        for k, v in mean_acc.items()))
+    return scales, in_means
+
+
+def calibrate_scales(model, variables, batches) -> Tuple[Tuple[str, float], ...]:
+    """Back-compat wrapper around :func:`calibrate_stats` (scales only)."""
+    return calibrate_stats(model, variables, batches)[0]
 
 
 def qt_resize_bilinear(x: QTensor, out_hw, align_corners: bool) -> QTensor:
@@ -311,18 +375,22 @@ def qt_global_avg_pool(x: QTensor, out_k=1) -> QTensor:
         jnp.clip(jnp.round(y), -QMAX, QMAX).astype(jnp.int8), x.scale)
 
 
-def quantize_for_inference(cfg, variables, calib_batches, **build_kw):
+def quantize_for_inference(cfg, variables, calib_batches, bias_correct=True,
+                           **build_kw):
     """One-call PTQ: calibrate activation scales on a few batches, return
     (int8_model, spec, scales). ``build_kw`` are forwarded to build_model
     (dtype, seg_upsample, ...); variables are the trained fp variables and
     remain the single source of truth (weights re-quantize at trace time).
+    ``bias_correct`` folds the expected weight-quantization output shift
+    into each conv epilogue (calibrated input means; Nagel et al. 2019).
     """
     from desenet_tpu.models import build_model
 
     calib_model, _ = build_model(cfg, quant=QuantCfg(mode="calib"), **build_kw)
-    scales = calibrate_scales(calib_model, variables, calib_batches)
-    model, spec = build_model(cfg, quant=QuantCfg(mode="int8", scales=scales),
-                              **build_kw)
+    scales, in_means = calibrate_stats(calib_model, variables, calib_batches)
+    model, spec = build_model(
+        cfg, quant=QuantCfg(mode="int8", scales=scales, in_means=in_means,
+                            bias_correct=bias_correct), **build_kw)
     return model, spec, scales
 
 
@@ -341,6 +409,17 @@ def sow_absmax(mdl, site: str, y: jax.Array) -> None:
         init_fn=lambda: jnp.asarray(0.0, jnp.float32),
         reduce_fn=jnp.maximum,
     )
+
+
+def sow_channel_mean(mdl, site: str, parts) -> None:
+    """Record the per-channel mean of a conv INPUT (concat of ``parts``
+    along channels) for bias correction; summed across calls (divide by the
+    batch count in calibrate_stats)."""
+    m = jnp.concatenate(
+        [p.astype(jnp.float32).mean(axis=(0, 1, 2)) for p in parts])
+    mdl.sow("qmean", site, m,
+            init_fn=lambda: jnp.zeros_like(m),
+            reduce_fn=lambda a, b: a + b)
 
 
 def site_key(mdl, site: str) -> str:

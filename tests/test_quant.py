@@ -177,3 +177,58 @@ def test_qt_helpers(rng):
     s = float(jnp.max(jnp.abs(2 * x))) / 127.0
     added = Q.qt_add(a, a, s)
     assert float(jnp.abs(Q.dequantize(added) - 2 * x).mean()) < 3 * s
+
+
+def test_int8_bias_correction_reduces_error(rng):
+    """Weight-quantization bias correction (QuantCfg.bias_correct): with a
+    biased input distribution, folding E[conv(x, dq(q(W)) - W)] out of the
+    epilogue must shrink the mean (systematic) output error vs no
+    correction, and stay within the same overall accuracy envelope."""
+    c1, c2, k = 32, 48, 3
+    variables = _realistic_convbnact_vars(rng, c1, c2, k)
+    # nonzero-mean input: systematic weight-rounding error becomes visible
+    x = jnp.asarray(rng.normal(0.7, 0.5, (2, 16, 16, c1)), jnp.float32)
+
+    fp = ConvBnAct(c2, k)
+    y_fp = fp.apply(variables, x, train=False)
+
+    calib = ConvBnAct(c2, k, quant=QuantCfg(mode="calib"))
+    _, mut = calib.apply(variables, x, train=False,
+                         mutable=["qcal", "qmean"])
+    scales = tuple(sorted(Q.flatten_qcal(mut["qcal"]).items()))
+    means = tuple(sorted(
+        (kk, tuple(float(v) for v in vv))
+        for kk, vv in Q.flatten_qmean(mut["qmean"]).items()))
+
+    qx = Q.quantize(x, float(jnp.max(jnp.abs(x))) / 127.0)
+
+    def mean_bias(cfg):
+        q = ConvBnAct(c2, k, quant=cfg)
+        y_q = Q.dequantize(q.apply(variables, qx, train=False))
+        # per-channel mean error = the systematic component correction targets
+        return float(jnp.abs((y_q - y_fp).mean(axis=(0, 1, 2))).mean())
+
+    bias_nc = mean_bias(QuantCfg(mode="int8", scales=scales))
+    bias_c = mean_bias(QuantCfg(mode="int8", scales=scales,
+                                in_means=means, bias_correct=True))
+    assert bias_c < bias_nc, (bias_c, bias_nc)
+
+    q = ConvBnAct(c2, k, quant=QuantCfg(mode="int8", scales=scales,
+                                        in_means=means, bias_correct=True))
+    y_c = Q.dequantize(q.apply(variables, qx, train=False))
+    rel = float(jnp.abs(y_c - y_fp).mean() / (jnp.abs(y_fp).mean() + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_quantize_for_inference_carries_means(tiny_fp, rng):
+    """quantize_for_inference default: bias correction on, means calibrated
+    for every conv site that has an inmean sow."""
+    _, _, variables = tiny_fp
+    variables = _boost_variables(variables, rng)
+    x = jnp.asarray(rng.normal(0.3, 0.4, (1, 64, 64, 3)), jnp.float32)
+    int8_model, _, scales = Q.quantize_for_inference(CFG, variables, [x])
+    assert int8_model.quant.bias_correct
+    assert len(int8_model.quant.in_means) > 0
+    # still runs end to end
+    (dec_q, _), seg_q = int8_model.apply(variables, x, train=False)
+    assert jnp.isfinite(dec_q).all()
