@@ -36,10 +36,13 @@ import jax.numpy as jnp
 
 # Persistent compile cache: first run through a healthy tunnel pays the
 # compile once; every later run (including the driver's end-of-round run)
-# deserializes in seconds.
-jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# deserializes in seconds. DESENET_BENCH_NO_CACHE opts out (flag-sweep
+# probes must not cross-pollinate executables compiled under other flags).
+if not os.environ.get("DESENET_BENCH_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 BATCH = 128
 SIZE = 640
