@@ -52,6 +52,7 @@ def save_raw(path, params, batch_stats, meta):
         json.dump(meta, f)
 
 
+@pytest.mark.slow
 def test_v1_checkpoint_loads_exactly(tmp_path):
     """A v1-layout tree stamped schema_version=1 migrates through the
     registry to the current fused layout bit-exactly."""

@@ -13,6 +13,8 @@ from make_fake_dataset import generate  # noqa: E402
 
 from desenet_tpu.train.engine import TrainConfig, train
 
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host; excluded from the smoke tier
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 

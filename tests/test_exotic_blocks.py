@@ -43,6 +43,7 @@ EXOTIC_CFG = {
 }
 
 
+@pytest.mark.slow
 def test_exotic_dsl_blocks_build_forward_grad():
     model, spec = build_model(dict(EXOTIC_CFG))
     assert spec.det_strides == (8,)

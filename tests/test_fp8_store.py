@@ -16,6 +16,8 @@ import pytest
 
 from desenet_tpu.models import build_model, init_model
 
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host; excluded from the smoke tier
+
 CFG = "tests/configs/tiny_psp2.yaml"
 
 

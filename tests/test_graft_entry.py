@@ -7,6 +7,7 @@ Round-1 failure mode: MULTICHIP_r01.json ok=false — backend init crashed on a
 libtpu client/terminal mismatch before any mesh was created.
 """
 
+import pytest
 import os
 import subprocess
 import sys
@@ -14,6 +15,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_survives_tpu_plugin_env():
     env = dict(os.environ)
     # Simulate the driver's environment: axon plugin selected, none of the

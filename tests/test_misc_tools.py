@@ -1,5 +1,6 @@
 """Dataset misc tools: autosplit / extract_boxes / flatten_recursive."""
 
+import pytest
 import os
 import sys
 
@@ -39,6 +40,7 @@ def test_sweep_print_config(capsys):
     assert "lr0" in cfg["parameters"]
 
 
+@pytest.mark.slow
 def test_local_sweep(tmp_path):
     """--local N random-search sweep: trials train, evolve.csv accumulates,
     hyp_evolve.yaml keeps the best row (zero-egress replacement for the

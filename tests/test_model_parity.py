@@ -146,6 +146,7 @@ def test_split_conv_grad_bf16():
     assert v["params"]["conv"]["conv2d"]["kernel"].shape == (3, 3, 256, 32)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cfg", ["yolov5m_seg", "yolov5l_seg"])
 def test_m_l_scale_build_and_forward(cfg):
     """m/l width multipliers change which concat sites pass the split-conv

@@ -17,6 +17,8 @@ from desenet_tpu.parallel.mesh import replicate_tree
 from desenet_tpu.train import create_train_state, make_train_step, one_cycle
 from desenet_tpu.train.optim import OptimConfig
 
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host; excluded from the smoke tier
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 CFG = os.path.join(HERE, "configs", "tiny_psp2.yaml")
 

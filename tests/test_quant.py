@@ -102,6 +102,7 @@ def _boost_variables(variables, rng):
     return {**variables, "params": params}
 
 
+@pytest.mark.slow
 def test_int8_model_end_to_end(tiny_fp, rng):
     """Full compiled-graph int8 apply: QTensors thread through Focus/C3/SPP/
     concat/upsample; heads see fp; outputs track the fp model."""

@@ -49,6 +49,7 @@ def test_stream_sources_file(clip, tmp_path):
     assert imgs.shape[0] == 2 and len(im0) == 2
 
 
+@pytest.mark.slow
 def test_detect_cli_stream_txt(clip, tmp_path):
     """detect CLI on a streams.txt source: threaded LoadStreams feed, per-
     stream annotated video outputs (reference detect.py:128-135, 256-268)."""

@@ -55,6 +55,7 @@ def setup():
     return model, variables, loss_fn
 
 
+@pytest.mark.slow
 def test_overfit_one_batch(setup):
     model, variables, loss_fn = setup
     opt_cfg = OptimConfig(lr0=0.01)
@@ -77,6 +78,7 @@ def test_overfit_one_batch(setup):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_accumulation_trigger(setup):
     model, variables, loss_fn = setup
     opt_cfg = OptimConfig(lr0=0.01)
@@ -99,6 +101,7 @@ def test_accumulation_trigger(setup):
     assert int(state.ema_updates) == sum(stepped)
 
 
+@pytest.mark.slow
 def test_ema_tracks_params(setup):
     model, variables, loss_fn = setup
     opt_cfg = OptimConfig(lr0=0.05)
@@ -119,6 +122,7 @@ def test_ema_tracks_params(setup):
     assert np.isfinite(np.asarray(e5)).all()
 
 
+@pytest.mark.slow
 def test_remat_convs_equivalence(setup):
     """remat_convs=True (save only conv outputs, recompute BN/SiLU in the
     backward) must produce numerically identical updates to the plain step —
@@ -148,6 +152,7 @@ def test_remat_convs_equivalence(setup):
                                    rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_always_step_specialization_equivalence(setup):
     """With batch_size >= nominal_bs, accumulate == 1 at every step and the
     step drops the accumulation buffer + whole-tree selects (PERF.md). The
@@ -185,6 +190,7 @@ def test_always_step_specialization_equivalence(setup):
                                    err_msg="ema_batch_stats")
 
 
+@pytest.mark.slow
 def test_freeze_layers(setup):
     """freeze=N pins layers l0..l{N-1} exactly (grads zeroed AND the weight-
     decay term masked, matching the reference's requires_grad=False loop,
