@@ -22,6 +22,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 
 
@@ -61,17 +66,19 @@ def main():
             return jax.random.uniform(
                 key, (ITERS, B, S // 4, S // 4, 48), jnp.bfloat16)
 
+        # weights closed over (compile-time constants), like bench.py:
+        # measured 6% faster than passing variables as a jit argument
         @jax.jit
-        def chain(variables, xs):
+        def chain(xs):
             return jax.lax.scan(
                 lambda c, x: (c + digest(variables, x), None), 0.0, xs)[0]
 
         xs_warm = jax.block_until_ready(make_inputs(jax.random.PRNGKey(3)))
-        float(chain(variables, xs_warm))
+        float(chain(xs_warm))
         del xs_warm
         xs = jax.block_until_ready(make_inputs(jax.random.PRNGKey(7)))
         t0 = time.perf_counter()
-        float(chain(variables, xs))
+        float(chain(xs))
         dt = (time.perf_counter() - t0) / ITERS
         print(f"yolov5{name}_seg: {n_params / 1e6:.2f}M params  "
               f"b{B}@{S}px  {dt * 1e3:.1f} ms/batch  "
