@@ -141,9 +141,10 @@ class BatchRunner(threading.Thread):
             self._lat_idx = (self._lat_idx + 1) % 1024
 
     def latency_percentiles(self) -> dict:
-        if not self._latencies:
+        snap = list(self._latencies)  # worker thread may append concurrently
+        if not snap:
             return {"p50_ms": None, "p99_ms": None}
-        lat = np.asarray(self._latencies, np.float64) * 1e3
+        lat = np.asarray(snap, np.float64) * 1e3
         return {"p50_ms": round(float(np.percentile(lat, 50)), 2),
                 "p99_ms": round(float(np.percentile(lat, 99)), 2)}
 
