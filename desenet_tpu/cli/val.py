@@ -47,6 +47,7 @@ def run(
     coco_anno="",
     int8=False,
     calib_batches=2,
+    int8_bias_correct=True,
     act_store=None,
 ):
     # COCO-protocol exports need the sparse 91-id category space when the
@@ -100,8 +101,10 @@ def run(
                 break
         model, spec, _ = Q.quantize_for_inference(
             config_path(meta["cfg"]), variables, calib, nc=meta["de_nc"],
-            se_nc=meta["se_nc"], dtype=dtype)
-        print(f"int8: calibrated on {len(calib)} batches")
+            se_nc=meta["se_nc"], dtype=dtype,
+            bias_correct=int8_bias_correct)
+        print(f"int8: calibrated on {len(calib)} batches "
+              f"(bias_correct={int8_bias_correct})")
 
     nc = 1 if single_cls else int(data["de"]["nc"])
     se_nc = int(data["se"]["nc"])
@@ -220,7 +223,14 @@ def parse_opt(argv=None):
                    help="COCO instances json for vendored COCOeval "
                         "(default: <data path>/annotations/instances_val2017.json)")
     p.add_argument("--int8", action="store_true",
-                   help="int8 W8A8 PTQ inference (calibrates on train batches)")
+                   help="int8 W8A8 PTQ inference (calibrates on train "
+                        "batches). Seg quality at parity; det mAP50 ~2%% "
+                        "rel below bf16 at the conf=0.001 tail even with "
+                        "bias correction — treat detection int8 as "
+                        "experimental (docs/QUANT.md)")
+    p.add_argument("--int8-no-bias-correct", action="store_true",
+                   help="ablation: disable weight-quantization bias "
+                        "correction in the int8 path")
     p.add_argument("--act-store", choices=["fp8", "fp8_e5m2"], default=None,
                    help="store block activations in fp8 (bf16 compute; "
                         "eval-only; a wash on v5e — see PERF.md — wins on "
@@ -262,6 +272,7 @@ def main(argv=None):
         o.iou_thres, o.task, o.single_cls, o.verbose, not o.no_half,
         o.plots, o.save_dir, o.workers, o.augment, o.save_txt, o.save_conf,
         o.save_json, coco_anno=o.coco_anno, int8=o.int8,
+        int8_bias_correct=not o.int8_no_bias_correct,
         save_hybrid=o.save_hybrid, act_store=o.act_store,
     )
 
