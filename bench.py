@@ -47,11 +47,13 @@ if not os.environ.get("DESENET_BENCH_NO_CACHE"):
 BATCH = 128
 SIZE = 640
 BASELINE_IMG_S = 2000.0  # BASELINE.md north-star target
-# 24 iters x (128,160,160,48) bf16 = 7.4 GB per input stack (the warm stack
-# is dropped before the timed one is made). The axon tunnel carries a fixed
-# ~22 ms round-trip per *call*; at ITERS=8 that under-reported the chip by
-# ~6% (2.75 ms/iter) — longer chains amortize the dispatch artifact.
-ITERS = int(os.environ.get("DESENET_BENCH_ITERS", "24"))
+# 40 iters x (128,160,160,48) bf16 = 12.6 GB per input stack (the warm
+# stack is dropped before the timed one is made; peak fits v5e's 16 GB with
+# the ~3 GB of live activations). The axon tunnel carries a fixed ~44 ms
+# cost per *call* (fitted across ITERS=16/24/32/40); longer chains amortize
+# the dispatch artifact: 24 iters reads 3472, 40 reads 3496-3514 img/s for
+# the same program. 40 is the largest stack that fits HBM.
+ITERS = int(os.environ.get("DESENET_BENCH_ITERS", "40"))
 # Wall-clock budget for the WHOLE script (driver timeouts historically
 # produced rc=124 with no number). Only the tunnel compile is unbounded;
 # if bring-up already burned most of the budget, degrade ITERS pre-compile.
@@ -120,21 +122,35 @@ def main():
     # weight layouts instead of honoring a parameter-layout contract —
     # measured 6% faster than passing variables as an argument (39.0 ->
     # 36.8 ms/iter; PERF.md round 3).
-    @jax.jit
-    def chain(xs):
+    def chain_fn(xs):
         def body(carry, x):
             return carry + infer_digest(variables, x), None
 
         out, _ = jax.lax.scan(body, 0.0, xs)
         return out
 
+    # Optional compiler-option experiment hook (tools/probe_infer_xla_flags
+    # found ~+1% from xla_tpu_rwb_fusion=false at ITERS=16, but it did NOT
+    # reproduce on the full ITERS=24 program — see PERF.md round 3; default
+    # options are the production path).
+    t0 = time.perf_counter()
+    lowered = jax.jit(chain_fn).lower(jax.ShapeDtypeStruct(
+        (iters, BATCH, SIZE // 4, SIZE // 4, 48), jnp.bfloat16))
+    opt_env = os.environ.get("DESENET_BENCH_XLA_OPTS", "")
+    opts = dict(kv.split("=", 1) for kv in opt_env.split(",") if "=" in kv)
+    try:
+        chain = lowered.compile(compiler_options=opts or None)
+    except Exception:
+        mark("compiler option rejected; default options")
+        chain = lowered.compile()
+    mark(f"chain compiled ({time.perf_counter() - t0:.1f}s)")
+
     # two distinct input stacks: warm on one, time the other (re-calling
     # with identical args would hit the tunnel's replay cache)
     xs_warm = jax.block_until_ready(make_inputs(jax.random.PRNGKey(3)))
     mark("inputs materialized")
-    t0 = time.perf_counter()
-    float(chain(xs_warm))  # compile + warm
-    mark(f"chain compiled+warm ({time.perf_counter() - t0:.1f}s)")
+    float(chain(xs_warm))  # warm
+    mark("warm run done")
     del xs_warm  # free HBM before materializing the timed stack
     xs = jax.block_until_ready(make_inputs(jax.random.PRNGKey(7)))
     t0 = time.perf_counter()
