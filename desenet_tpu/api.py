@@ -164,7 +164,7 @@ class Predictor:
     def __init__(self, weights: str, imgsz: int = 640,
                  conf_thres: float = 0.25, iou_thres: float = 0.45,
                  max_det: int = 300, half: bool = True,
-                 stem_s2d: bool = None):
+                 stem_s2d: bool = None, n_devices: int = 1):
         variables, meta = load_inference_variables(weights)
         assert meta is not None, "checkpoint missing meta.json"
         dtype = jnp.bfloat16 if half else jnp.float32
@@ -199,6 +199,21 @@ class Predictor:
         self.se_names = meta.get("se_names") or [str(i) for i in
                                                  range(self.spec.se_nc)]
         self.dtype = dtype
+        # multi-chip data-parallel inference: batches shard over a 1D data
+        # mesh (batch padded to a device multiple in __call__); weights are
+        # jit constants, replicated by GSPMD. The whole program (forward +
+        # NMS + seg tail) is batch-parallel, so no cross-device collectives
+        # exist outside the final digest gathers.
+        self.n_devices = max(1, n_devices)
+        if self.n_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from desenet_tpu.parallel import make_mesh
+
+            self._in_sharding = NamedSharding(make_mesh(self.n_devices),
+                                              PartitionSpec("data"))
+        else:
+            self._in_sharding = None
 
         # weights are CLOSED OVER (compile-time constants), not jit
         # arguments: a Predictor's weights never change after load, and
@@ -249,9 +264,18 @@ class Predictor:
             batch = assemble_batch_s2d4(rgb)
         else:
             batch = np.stack(rgb)
-        nms, seg_cls = jax.block_until_ready(
-            self._infer(jnp.asarray(batch))
-        )
+        if self._in_sharding is not None:
+            # pad to a device multiple (repeat the last image), shard the
+            # batch axis; padded rows are sliced off with the python loop
+            # below (it iterates the original imgs0 only)
+            pad = (-batch.shape[0]) % self.n_devices
+            if pad:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], pad, axis=0)])
+            dev_batch = jax.device_put(batch, self._in_sharding)
+        else:
+            dev_batch = jnp.asarray(batch)
+        nms, seg_cls = jax.block_until_ready(self._infer(dev_batch))
 
         boxes = np.asarray(nms.boxes)
         scores = np.asarray(nms.scores)

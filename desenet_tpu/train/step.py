@@ -19,6 +19,7 @@ reproduce it.
 from __future__ import annotations
 
 import functools
+import os
 import re
 from typing import Any, Callable, Dict, Optional
 
@@ -212,4 +213,14 @@ def make_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    # TPU: the latency-hiding scheduler reorders the step's HLO so copies/
+    # loads overlap compute — measured +11% on the b128 production step
+    # (539 -> 593-605 img/s, two runs; PERF.md round 3). Off-TPU or on
+    # backends that reject the option, fall back to default scheduling.
+    # DESENET_NO_LHS=1 disables (escape hatch).
+    kw = {}
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("DESENET_NO_LHS")):
+        kw["compiler_options"] = {
+            "xla_tpu_enable_latency_hiding_scheduler": "true"}
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (), **kw)

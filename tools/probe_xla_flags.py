@@ -13,9 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-SIZE = 640
-B = 64
-ITERS = 4
+SIZE = int(os.environ.get("PROBE_SIZE", "640"))
+B = int(os.environ.get("PROBE_B", "64"))
+ITERS = int(os.environ.get("PROBE_ITERS", "4"))
 
 
 def main():
@@ -60,8 +60,10 @@ def main():
     def mk(key):
         xs = jax.random.randint(key, (ITERS, B, SIZE, SIZE, 3), 0, 256,
                                 jnp.uint8)
+        # uint8 masks match the production collate contract (the step widens
+        # on-device) and quarter the input-stack HBM footprint
         seg = jax.random.randint(key, (ITERS, B, SIZE, SIZE), 0, spec.se_nc,
-                                 jnp.int32)
+                                 jnp.uint8)
         return xs, seg
 
     warm = jax.block_until_ready(mk(jax.random.PRNGKey(3)))
