@@ -42,13 +42,16 @@ def main(argv=None):
                         help="largest accepted request body (413 above)")
     parser.add_argument("--no-half", action="store_true",
                         help="run float32 instead of bfloat16")
+    parser.add_argument("--n-devices", type=int, default=1,
+                        help="shard each micro-batch over this many chips "
+                             "(1D data mesh; batch pads to a multiple)")
     args = parser.parse_args(argv)
 
     set_logging()
     predictor = Predictor(
         args.weights, imgsz=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, max_det=args.max_det,
-        half=not args.no_half,
+        half=not args.no_half, n_devices=args.n_devices,
     )
     server = InferenceServer(predictor, host=args.host, port=args.port,
                              max_batch=args.max_batch,
