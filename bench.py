@@ -38,11 +38,9 @@ import jax.numpy as jnp
 # compile once; every later run (including the driver's end-of-round run)
 # deserializes in seconds. DESENET_BENCH_NO_CACHE opts out (flag-sweep
 # probes must not cross-pollinate executables compiled under other flags).
-if not os.environ.get("DESENET_BENCH_NO_CACHE"):
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+from desenet_tpu.utils.general import enable_compile_cache
+
+enable_compile_cache(_REPO)
 
 BATCH = 128
 SIZE = 640
@@ -140,8 +138,16 @@ def main():
     opts = dict(kv.split("=", 1) for kv in opt_env.split(",") if "=" in kv)
     try:
         chain = lowered.compile(compiler_options=opts or None)
-    except Exception:
-        mark("compiler option rejected; default options")
+    except Exception as e:
+        if opts:
+            # ALWAYS loud: an explicitly requested flag experiment falling
+            # back to defaults must not report a default-config number as
+            # the experiment's result
+            import sys
+
+            print(f"# DESENET_BENCH_XLA_OPTS rejected ({e}); "
+                  "re-compiling with DEFAULT options — this run is NOT "
+                  "the requested experiment", file=sys.stderr, flush=True)
         chain = lowered.compile()
     mark(f"chain compiled ({time.perf_counter() - t0:.1f}s)")
 

@@ -164,7 +164,8 @@ class Predictor:
     def __init__(self, weights: str, imgsz: int = 640,
                  conf_thres: float = 0.25, iou_thres: float = 0.45,
                  max_det: int = 300, half: bool = True,
-                 stem_s2d: bool = None, n_devices: int = 1):
+                 stem_s2d: bool = None, n_devices: int = 1,
+                 bake_weights: bool = True):
         variables, meta = load_inference_variables(weights)
         assert meta is not None, "checkpoint missing meta.json"
         dtype = jnp.bfloat16 if half else jnp.float32
@@ -205,6 +206,12 @@ class Predictor:
         # NMS + seg tail) is batch-parallel, so no cross-device collectives
         # exist outside the final digest gathers.
         self.n_devices = max(1, n_devices)
+        if self.n_devices > len(jax.devices()):
+            # make_mesh would silently truncate while __call__ kept padding
+            # batches to the REQUESTED multiple — fail loudly instead
+            raise ValueError(
+                f"n_devices={n_devices} but only {len(jax.devices())} "
+                f"devices are visible")
         if self.n_devices > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -215,12 +222,15 @@ class Predictor:
         else:
             self._in_sharding = None
 
-        # weights are CLOSED OVER (compile-time constants), not jit
-        # arguments: a Predictor's weights never change after load, and
-        # freeing XLA from the parameter-layout contract measured 6% faster
-        # at b128/640 (39.0 -> 36.8 ms/iter, PERF.md round 3)
-        @jax.jit
-        def _infer(img_u8):
+        # bake_weights=True (default): weights are CLOSED OVER (compile-time
+        # constants), not jit arguments — a Predictor's weights never change
+        # after load, and freeing XLA from the parameter-layout contract
+        # measured 6% faster at b128/640 (39.0 -> 36.8 ms/iter, PERF.md
+        # round 3). Caveat: every compiled batch shape embeds its own copy
+        # of the weights; a multi-bucket server (serve.py compiles one
+        # executable per power-of-two bucket) can pass bake_weights=False
+        # to share one device copy across buckets at the ~6% cost.
+        def _infer_fn(variables, img_u8):
             x = img_u8.astype(dtype) / 255.0
             (dec, _), seg = self.model.apply(variables, x, train=False)
             nms = non_max_suppression(
@@ -230,7 +240,11 @@ class Predictor:
             seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
             return nms, seg_cls
 
-        self._infer = _infer
+        if bake_weights:
+            self._infer = jax.jit(lambda img: _infer_fn(variables, img))
+        else:
+            jitted = jax.jit(_infer_fn)
+            self._infer = lambda img: jitted(self.variables, img)
 
     @staticmethod
     def _to_bgr(im) -> np.ndarray:

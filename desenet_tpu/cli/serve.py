@@ -45,6 +45,12 @@ def main(argv=None):
     parser.add_argument("--n-devices", type=int, default=1,
                         help="shard each micro-batch over this many chips "
                              "(1D data mesh; batch pads to a multiple)")
+    parser.add_argument("--no-bake-weights", action="store_true",
+                        help="pass weights as a jit argument instead of "
+                             "baking them per compiled bucket: one shared "
+                             "HBM copy across all batch buckets at a ~6%% "
+                             "throughput cost (use for large models with "
+                             "many buckets)")
     args = parser.parse_args(argv)
 
     set_logging()
@@ -52,6 +58,7 @@ def main(argv=None):
         args.weights, imgsz=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, max_det=args.max_det,
         half=not args.no_half, n_devices=args.n_devices,
+        bake_weights=not args.no_bake_weights,
     )
     server = InferenceServer(predictor, host=args.host, port=args.port,
                              max_batch=args.max_batch,

@@ -215,6 +215,16 @@ class MixedDataset:
         self.shapes = np.asarray([it[1] for it in items], np.float32)  # (w, h)
         self.det_labels = [it[2] for it in items]
         self.seg_labels = [it[3] for it in items]
+        # collate ships seg masks as uint8 (4x less memcpy/transfer);
+        # validate once that every class id actually fits — a stray
+        # negative/ignore id or a >255-class dataset would otherwise wrap
+        # silently into a valid-looking class
+        bad = {int(c) for s in self.seg_labels for c, _ in s
+               if not 0 <= int(c) <= 255}
+        assert not bad, (
+            f"{prefix}seg class ids out of uint8 range {sorted(bad)[:10]} "
+            "(the pipeline ships masks as uint8; remap ignore/negative ids "
+            "and keep se_nc <= 256)")
         self.de_label_files, self.se_label_files = img2label_paths(self.img_files)
         if single_cls:
             for d in self.det_labels:

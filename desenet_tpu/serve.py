@@ -103,35 +103,42 @@ class BatchRunner(threading.Thread):
         self._latencies: List[float] = []
         self._lat_idx = 0
         self._stop = False
+        # guards the _stop check-then-enqueue in submit() vs the drain in
+        # stop() (a request admitted between them would strand its HTTP
+        # thread for the full timeout), and the stats read-modify-writes
+        # (shed from N handler threads vs batch counters from the worker)
+        self._lock = threading.Lock()
 
     def submit(self, pending: _Pending) -> bool:
         """Enqueue a request. Returns False (caller answers 503) when the
         queue is full or the runner is stopping."""
-        if self._stop:
-            return False
-        try:
-            self.queue.put_nowait(pending)
-            return True
-        except queue.Full:
-            self.stats["shed"] += 1
-            return False
+        with self._lock:
+            if self._stop:
+                return False
+            try:
+                self.queue.put_nowait(pending)
+                return True
+            except queue.Full:
+                self.stats["shed"] += 1
+                return False
 
     def stop(self):
-        self._stop = True
-        # fail everything still queued immediately so HTTP threads don't
-        # block out their full request timeout during shutdown
-        while True:
+        with self._lock:
+            self._stop = True
+            # fail everything still queued immediately so HTTP threads
+            # don't block out their full request timeout during shutdown
+            while True:
+                try:
+                    item = self.queue.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    item.error = "server shutting down"
+                    item.done.set()
             try:
-                item = self.queue.get_nowait()
-            except queue.Empty:
-                break
-            if item is not None:
-                item.error = "server shutting down"
-                item.done.set()
-        try:
-            self.queue.put_nowait(None)  # wake the worker if it is blocked
-        except queue.Full:
-            pass
+                self.queue.put_nowait(None)  # wake a blocked worker
+            except queue.Full:
+                pass
 
     def _record_latency(self, seconds: float):
         if len(self._latencies) < 1024:
@@ -217,11 +224,12 @@ class BatchRunner(threading.Thread):
                 p.error = f"{type(e).__name__}: {e}"
         finally:
             now = time.monotonic()
-            self.stats["requests"] += n
-            self.stats["batches"] += 1
-            self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
-                                               n)
-            self.stats["padded"] += b - n
+            with self._lock:
+                self.stats["requests"] += n
+                self.stats["batches"] += 1
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], n)
+                self.stats["padded"] += b - n
             for p in batch:
                 self._record_latency(now - p.t_submit)
                 p.done.set()

@@ -58,7 +58,8 @@ def make_train_step(
     batch: dict with
       image      (B, H, W, 3) float in [0,1] or uint8
       det_targets(B, M, 5), det_mask (B, M)
-      seg_labels (B, H, W) int32
+      seg_labels (B, H, W) integer class ids — uint8 from the production
+                 collate (widened to int32 on-device), int32 accepted
     """
     accum_target = nominal_bs / batch_size
 

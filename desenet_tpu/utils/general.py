@@ -12,7 +12,7 @@ import os
 import random
 import re
 from pathlib import Path
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import yaml
@@ -25,6 +25,28 @@ def set_logging(verbose: bool = True):
         format="%(message)s",
         level=logging.INFO if verbose else logging.WARNING,
     )
+
+
+def enable_compile_cache(root: Optional[str] = None):
+    """Point JAX's persistent compilation cache at <repo>/.jax_cache.
+
+    One shared helper for every bench/probe entry point (bench.py,
+    tools/bench_family.py, tools/probe_bench_parts.py,
+    tools/bench_train_e2e.py): warm reruns skip the multi-minute tunnel
+    compile. Honors DESENET_BENCH_NO_CACHE=1 (flag-sweep probes must not
+    cross-pollinate executables compiled under different options).
+    """
+    if os.environ.get("DESENET_BENCH_NO_CACHE"):
+        return
+    import jax
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(root, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def set_matmul_precision(name: str):

@@ -63,3 +63,24 @@ def test_multidevice_exact_multiple(weights_dir):
     assert len(r8) == 8
     for a, b in zip(r1.xyxy, r8.xyxy):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_bake_weights_off_matches(weights_dir):
+    """bake_weights=False (shared weight copy across compiled buckets,
+    serve.py --no-bake-weights) must be numerically identical."""
+    kw = dict(imgsz=64, half=False, conf_thres=1e-6, max_det=10)
+    baked = Predictor(weights_dir, **kw)
+    shared = Predictor(weights_dir, bake_weights=False, **kw)
+    imgs = _imgs(2)
+    r1, r2 = baked(imgs), shared(imgs)
+    for a, b in zip(r1.xyxy, r2.xyxy):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+    for a, b in zip(r1.masks, r2.masks):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_n_devices_over_available_raises(weights_dir):
+    """Requesting more devices than visible must fail loudly, not silently
+    truncate the mesh while padding batches to the requested multiple."""
+    with pytest.raises(ValueError, match="devices"):
+        Predictor(weights_dir, n_devices=16, imgsz=64, half=False)

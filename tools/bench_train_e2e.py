@@ -36,15 +36,20 @@ sys.path.insert(0, _REPO)
 
 
 def build_dataset(root: str, n: int, size: int):
-    """Synthesize a det+seg dataset of n JPEG images (reference layout)."""
+    """Synthesize a det+seg dataset of n JPEG images (reference layout).
+
+    Each (n, size) combination gets its OWN subdirectory: regenerating a
+    smaller set into a shared root would leave the previous larger image
+    set on disk and silently mis-size the measured epoch."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import make_fake_dataset
 
-    marker = os.path.join(root, f".e2e_{n}_{size}")
+    ds_root = os.path.join(root, f"n{n}_s{size}")
+    marker = os.path.join(ds_root, ".complete")
     if not os.path.exists(marker):
-        make_fake_dataset.generate(root, n, 8, size, seed=0)
+        make_fake_dataset.generate(ds_root, n, 8, size, seed=0)
         open(marker, "w").close()
-    return os.path.join(root, "data.yaml")
+    return os.path.join(ds_root, "data.yaml")
 
 
 def main(argv=None):
@@ -65,12 +70,14 @@ def main(argv=None):
     ap.add_argument("--cache-images", choices=["ram", "disk"], default=None)
     ap.add_argument("--cfg", default="yolov5s_seg")
     args = ap.parse_args(argv)
+    if args.epochs < 2:
+        # epoch 0 only warms; at least one timed epoch must exist or the
+        # rate aggregation below has nothing to report
+        args.epochs = 2
 
-    import jax
+    from desenet_tpu.utils.general import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(_REPO, ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    enable_compile_cache(_REPO)
 
     import jax.numpy as jnp
     import numpy as np
