@@ -50,6 +50,9 @@ def make_train_step(
     donate: bool = True,
     remat_convs: bool = False,
     freeze: int = 0,
+    compiler_options="auto",  # "auto" = latency-hiding sched on TPU;
+    # None for callers that NEST the step inside another jit (jax rejects
+    # compiler_options on non-top-level jits, e.g. probe scan chains)
     _force_select_path: bool = False,  # test hook: disable the always-step
     # specialization to compare it bit-for-bit against the general path
 ):
@@ -220,8 +223,17 @@ def make_train_step(
     # backends that reject the option, fall back to default scheduling.
     # DESENET_NO_LHS=1 disables (escape hatch).
     kw = {}
-    if (jax.default_backend() == "tpu"
-            and not os.environ.get("DESENET_NO_LHS")):
-        kw["compiler_options"] = {
-            "xla_tpu_enable_latency_hiding_scheduler": "true"}
+    if compiler_options == "auto":
+        # Measured per-shape on v5e (PERF.md round 3): +11% at b128/640
+        # (539 -> 593-605 img/s), -6% at b64/640 (452 -> 425) — the
+        # scheduler's prefetch aggressiveness pays off only once the
+        # per-layer working sets are large enough to hide behind compute.
+        # Auto-enable at the high-throughput batch; override explicitly
+        # (compiler_options={...}/None) or via DESENET_NO_LHS for others.
+        if (jax.default_backend() == "tpu" and batch_size >= 128
+                and not os.environ.get("DESENET_NO_LHS")):
+            kw["compiler_options"] = {
+                "xla_tpu_enable_latency_hiding_scheduler": "true"}
+    elif compiler_options:
+        kw["compiler_options"] = dict(compiler_options)
     return jax.jit(train_step, donate_argnums=(0,) if donate else (), **kw)

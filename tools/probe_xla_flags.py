@@ -45,7 +45,7 @@ def main():
     state = create_train_state(variables, opt_cfg)
     step = make_train_step(model, det_loss, opt_cfg, one_cycle(1, 0.2, 10),
                            nb=100, warmup_iters=0, nominal_bs=B,
-                           batch_size=B, donate=False)
+                           batch_size=B, donate=False, compiler_options=None)
 
     def chain(state, xs, segs):
         def body(st, inp):

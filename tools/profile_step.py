@@ -184,7 +184,7 @@ def main():
     state = create_train_state(variables, opt_cfg)
     step = make_train_step(model, det_loss, opt_cfg, one_cycle(1, 0.2, 10),
                            nb=100, warmup_iters=0, nominal_bs=B_TRAIN,
-                           batch_size=B_TRAIN, donate=False)
+                           batch_size=B_TRAIN, donate=False, compiler_options=None)
 
     @jax.jit
     def chain_step(state, xs, segs):

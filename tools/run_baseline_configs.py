@@ -114,7 +114,7 @@ def main():
     B = 64
     step = make_train_step(tmodel, loss_fn, opt, one_cycle(1, 0.2, 300),
                            nb=100, warmup_iters=300, nominal_bs=64,
-                           batch_size=B, donate=False)
+                           batch_size=B, donate=False, compiler_options=None)
     state = create_train_state(tvars, opt)
 
     @jax.jit
