@@ -45,12 +45,13 @@ enable_compile_cache(_REPO)
 BATCH = 128
 SIZE = 640
 BASELINE_IMG_S = 2000.0  # BASELINE.md north-star target
-# 40 iters x (128,160,160,48) bf16 = 12.6 GB per input stack (the warm
+# 40 iters x (128,160,160,48) uint8 = 6.3 GB per input stack (the warm
 # stack is dropped before the timed one is made; peak fits v5e's 16 GB with
-# the ~3 GB of live activations). The axon tunnel carries a fixed ~44 ms
-# cost per *call* (fitted across ITERS=16/24/32/40); longer chains amortize
-# the dispatch artifact: 24 iters reads 3472, 40 reads 3496-3514 img/s for
-# the same program. 40 is the largest stack that fits HBM.
+# the ~3 GB of live activations; round 4 switched the staged inputs from
+# bf16 to the Predictor's exact uint8-widen-in-graph program, halving the
+# stack). The axon tunnel carries a fixed ~44 ms cost per *call* (fitted
+# across ITERS=16/24/32/40); longer chains amortize the dispatch artifact:
+# 24 iters reads 3472, 40 reads 3496-3514 img/s for the same program.
 ITERS = int(os.environ.get("DESENET_BENCH_ITERS", "40"))
 # Wall-clock budget for the WHOLE script (driver timeouts historically
 # produced rc=124 with no number). Only the tunnel compile is unbounded;
@@ -86,7 +87,11 @@ def main():
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE, batch=1)
     mark("init_model done (backend up)")
 
-    def infer_digest(variables, x):
+    def infer_digest(variables, x_u8):
+        # uint8 inputs widened in-graph — byte-identical to the served
+        # program (api.py Predictor `img_u8.astype(dtype)/255.0`); u8 also
+        # reads 2x less HBM than staging bf16 inputs would
+        x = x_u8.astype(model.dtype) / 255.0
         (dec, feats), seg = model.apply(variables, x, train=False)
         nms = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
                                   max_det=300, pre_topk=PRE_TOPK_PRODUCTION)
@@ -110,9 +115,11 @@ def main():
     def make_inputs(key):
         # pre-generated varied inputs: the timed region is pure inference
         # (per-iteration on-device RNG is not part of the workload, and
-        # identical inputs would be replayed by the axon tunnel)
-        return jax.random.uniform(
-            key, (iters, BATCH, SIZE // 4, SIZE // 4, 48), jnp.bfloat16)
+        # identical inputs would be replayed by the axon tunnel). uint8 in
+        # the host-s2d layout, exactly what the Predictor is fed.
+        return jax.random.randint(
+            key, (iters, BATCH, SIZE // 4, SIZE // 4, 48), 0, 256,
+            jnp.int32).astype(jnp.uint8)
 
     # `variables` is CLOSED OVER, not passed as an argument: weights are
     # compile-time constants, exactly as a deployed inference program bakes
@@ -133,7 +140,7 @@ def main():
     # options are the production path).
     t0 = time.perf_counter()
     lowered = jax.jit(chain_fn).lower(jax.ShapeDtypeStruct(
-        (iters, BATCH, SIZE // 4, SIZE // 4, 48), jnp.bfloat16))
+        (iters, BATCH, SIZE // 4, SIZE // 4, 48), jnp.uint8))
     opt_env = os.environ.get("DESENET_BENCH_XLA_OPTS", "")
     opts = dict(kv.split("=", 1) for kv in opt_env.split(",") if "=" in kv)
     try:

@@ -111,8 +111,35 @@ def parse_opt(argv=None):
     return p.parse_args(argv)
 
 
+def _maybe_init_multihost():
+    """Multi-process launch (the torchrun-env analog, reference
+    train.py:60-62 LOCAL_RANK/RANK/WORLD_SIZE): when DESENET_COORDINATOR is
+    set, initialize the JAX distributed runtime before any backend touch.
+
+        DESENET_COORDINATOR=host0:1234 DESENET_NUM_PROCESSES=2 \\
+        DESENET_PROCESS_ID=0 desenet-train --data ... --batch-size 64
+
+    gives each process 1/NUM_PROCESSES of every global batch and makes
+    process 0 the artifact owner (train/engine.py). Optional
+    DESENET_CPU_DEVICES_PER_PROC forces the CPU-backend simulation used by
+    tests/test_multihost_engine.py."""
+    coord = os.environ.get("DESENET_COORDINATOR")
+    if not coord:
+        return
+    from desenet_tpu.parallel.multihost import init_multihost
+
+    cpu_dev = os.environ.get("DESENET_CPU_DEVICES_PER_PROC")
+    init_multihost(
+        coord,
+        int(os.environ["DESENET_NUM_PROCESSES"]),
+        int(os.environ["DESENET_PROCESS_ID"]),
+        cpu_devices_per_process=int(cpu_dev) if cpu_dev else None,
+    )
+
+
 def main(argv=None):
     set_logging()
+    _maybe_init_multihost()
     o = parse_opt(argv)
     overrides = None
     if o.resume is True:

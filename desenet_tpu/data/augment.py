@@ -9,8 +9,13 @@ the global `random` state — per-(epoch, index) seeding makes any sample
 reproducible in isolation (the reference's global-RNG soup cannot be
 replayed; SURVEY §7 determinism note).
 
-Images are HWC BGR uint8 throughout (cv2 convention), converted to RGB once
-at tensor-assembly time, like the reference.
+Images are HWC RGB uint8 throughout. The reference keeps cv2's BGR order
+end-to-end and flips to RGB at tensor-assembly time
+(mixed_datasets.py:572-575); every op here is channel-order-agnostic
+(geometry, gray pads) or uses explicit RGB cv2 flags (augment_hsv), so
+staying in decode-native RGB is bit-identical and saves two full-image
+copies per sample (the RGB2BGR after PIL decode and the final BGR2RGB) —
+measured ~2.9 ms/sample of the host loader budget (PERF.md round 4).
 
 Det labels: (n, 5) [cls, x1, y1, x2, y2] *pixel* xyxy inside augmentation.
 Seg labels: list of (cls_id, (k, 2) float32 pixel polygon).
@@ -69,18 +74,22 @@ def letterbox(
 
 def augment_hsv(img: np.ndarray, rng: np.random.Generator,
                 hgain=0.5, sgain=0.5, vgain=0.5) -> np.ndarray:
-    """LUT-based random HSV jitter (in place, BGR uint8)."""
+    """LUT-based random HSV jitter (in place, RGB uint8).
+
+    Identical math to the reference's BGR version (mixed_datasets.py:
+    643-654): cv2's ``*2HSV`` flags only declare where R and B live, so
+    RGB-in/RGB-out equals BGR-in/BGR-out with channels permuted."""
     if hgain == 0 and sgain == 0 and vgain == 0:
         return img
     r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
-    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+    hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_RGB2HSV))
     x = np.arange(0, 256, dtype=np.int16)
     lut_h = ((x * r[0]) % 180).astype(img.dtype)
     lut_s = np.clip(x * r[1], 0, 255).astype(img.dtype)
     lut_v = np.clip(x * r[2], 0, 255).astype(img.dtype)
     hsv = cv2.merge((cv2.LUT(hue, lut_h), cv2.LUT(sat, lut_s),
                      cv2.LUT(val, lut_v)))
-    cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR, dst=img)
+    cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB, dst=img)
     return img
 
 

@@ -273,7 +273,8 @@ class MixedDataset:
             st = p.stat()
             key = hashlib.sha1(
                 f"{p.resolve()}:{st.st_size}:{int(st.st_mtime)}:"
-                f"{self.img_size}".encode()).hexdigest()[:24]
+                f"{self.img_size}:rgb".encode()).hexdigest()[:24]
+            # ':rgb' invalidates round-3 caches written in BGR order
             f = cdir / f"{key}.npy"
             if not f.exists():
                 arr, _, _ = self.load_image(i)
@@ -367,7 +368,10 @@ class MixedDataset:
 
     def load_image(self, index: int):
         """Decode + EXIF-correct + resize long side to img_size
-        (mixed_datasets.py:624-640). Returns BGR uint8."""
+        (mixed_datasets.py:624-640). Returns RGB uint8 — decode-native
+        order; the reference's BGR round trip (RGB2BGR here + BGR2RGB at
+        assembly, mixed_datasets.py:572-575) is two wasted full-image
+        copies per sample (see data/augment.py module note)."""
         if self.im_cache is not None:
             c = self.im_cache[index]
             if isinstance(c, tuple):  # ram: (arr, (h0,w0), (h,w))
@@ -395,7 +399,7 @@ class MixedDataset:
             # LANCZOS for down- AND up-scaling — the reference uses
             # Image.ANTIALIAS unconditionally (mixed_datasets.py:638)
             img = img.resize((int(w0 * r), int(h0 * r)), Image.LANCZOS)
-        arr = cv2.cvtColor(np.asarray(img.convert("RGB")), cv2.COLOR_RGB2BGR)
+        arr = np.asarray(img.convert("RGB"))
         return arr, (h0, w0), arr.shape[:2]
 
     def _load_image_fast(self, path):
@@ -430,7 +434,7 @@ class MixedDataset:
             interp = (cv2.INTER_AREA if (th <= arr.shape[0] and tw <= arr.shape[1])
                       else cv2.INTER_LINEAR)
             arr = cv2.resize(arr, (tw, th), interpolation=interp)
-        return cv2.cvtColor(arr, cv2.COLOR_RGB2BGR), (h0, w0), arr.shape[:2]
+        return arr, (h0, w0), arr.shape[:2]
 
     # ------------------------------------------------------------------
     def get_sample(self, pos: int):
@@ -509,7 +513,8 @@ class MixedDataset:
                 img, det, seg = flip_lr(img, det, seg)
 
         seg_mask = rasterize_polygons(seg, img.shape[:2])
-        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB
+        # img is already RGB (load_image) — no channel flip / copy needed;
+        # collate's native assembler handles any residual non-contiguity
         return img, det.astype(np.float32), seg_mask, self.img_files[index], shapes
 
     def _load_mosaic(self, index: int, rng: np.random.Generator):

@@ -131,28 +131,67 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     init_seeds(cfg.seed)
     hyp = load_hyp(cfg.hyp)
 
-    save_dir = str(increment_path(os.path.join(cfg.project, cfg.name),
-                                  exist_ok=cfg.exist_ok, mkdir=True))
-    with open(os.path.join(save_dir, "hyp.yaml"), "w") as f:
-        yaml.safe_dump(hyp, f)
-    with open(os.path.join(save_dir, "opt.yaml"), "w") as f:
-        # real types, so bare --resume can restore the run's options
-        # (reference train.py:538-547 reloads opt.yaml into the namespace);
-        # path-like fields are absolutized so resume works from any cwd
-        snap = {}
-        for k, v in vars(cfg).items():
-            if not isinstance(v, (str, int, float, bool, type(None))):
-                v = str(v)
-            if (k in ("data", "cfg", "hyp", "weights", "project")
-                    and isinstance(v, str) and os.path.exists(v)):
-                v = os.path.abspath(v)
-            snap[k] = v
-        yaml.safe_dump(snap, f)
+    # Multi-process (multi-host) SPMD: when launched under
+    # jax.distributed.initialize (cli/train.py reads DESENET_COORDINATOR /
+    # DESENET_NUM_PROCESSES / DESENET_PROCESS_ID), every process runs this
+    # same engine; process 0 owns all artifacts (ckpt/logs/plots/val) like
+    # the reference's rank-0 guards (/root/reference/scripts/train.py:319,
+    # 393), each process loads a strided shard of every global batch
+    # (DistributedSampler analog, train.py:223-226) and promotes it with
+    # jax.make_array_from_process_local_data, and processes sync at
+    # dataset-cache and checkpoint boundaries (torch_distributed_zero_first
+    # analog, core/utils/torch_utils.py:27-36).
+    pc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if pc > 1:
+        from desenet_tpu.parallel.multihost import (
+            global_batch_from_local, sync_hosts)
 
-    loggers = Loggers(save_dir, use_tb=cfg.use_tb)
-    callbacks.auto_register(loggers)
+        if cfg.batch_size % pc:
+            raise ValueError(
+                f"global batch {cfg.batch_size} not divisible by "
+                f"{pc} processes")
+        if cfg.spatial > 1:
+            raise ValueError(
+                "multi-process training supports spatial=1 only (per-host "
+                "input shards split the batch axis)")
+        if cfg.rect:
+            raise ValueError(
+                "multi-process training is incompatible with --rect: "
+                "aspect-sorted batch shapes diverge across hosts")
+        # --wandb runs on process 0 only; wandb-artifact:// dataset paths
+        # are not resolved on workers (pass local paths when multi-process)
+    local_bs = cfg.batch_size // pc
+
+    if is_main:
+        save_dir = str(increment_path(os.path.join(cfg.project, cfg.name),
+                                      exist_ok=cfg.exist_ok, mkdir=True))
+        with open(os.path.join(save_dir, "hyp.yaml"), "w") as f:
+            yaml.safe_dump(hyp, f)
+        with open(os.path.join(save_dir, "opt.yaml"), "w") as f:
+            # real types, so bare --resume can restore the run's options
+            # (reference train.py:538-547 reloads opt.yaml into the
+            # namespace); path-like fields are absolutized so resume works
+            # from any cwd
+            snap = {}
+            for k, v in vars(cfg).items():
+                if not isinstance(v, (str, int, float, bool, type(None))):
+                    v = str(v)
+                if (k in ("data", "cfg", "hyp", "weights", "project")
+                        and isinstance(v, str) and os.path.exists(v)):
+                    v = os.path.abspath(v)
+                snap[k] = v
+            yaml.safe_dump(snap, f)
+    else:
+        # never written to on non-main processes; kept for the return value
+        save_dir = os.path.join(cfg.project, cfg.name)
+
+    loggers = None
+    if is_main:
+        loggers = Loggers(save_dir, use_tb=cfg.use_tb)
+        callbacks.auto_register(loggers)
     wb = None
-    if cfg.wandb:
+    if cfg.wandb and is_main:
         from desenet_tpu.utils.wandb_logger import WandbLogger
 
         # -1 -> every epochs//10 epochs, as the reference resolves it
@@ -238,28 +277,49 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     # (double-buffered HBM staging; multi-scale runs unstaged host batches)
     _mesh_holder = {}
 
+    def _place(staged):
+        """Host batch -> device arrays on the mesh: single-process places
+        with shard_batch; multi-process promotes this host's rows to global
+        arrays (no cross-host transfer)."""
+        mesh = _mesh_holder["mesh"]
+        if pc > 1:
+            return global_batch_from_local(staged, mesh)
+        return shard_batch(staged, mesh)
+
     def _stage(batch):
         if cfg.multi_scale or "mesh" not in _mesh_holder:
             return batch
         staged = {k: v for k, v in batch.items()
                   if k not in ("paths", "shapes")}
-        return {**shard_batch(staged, _mesh_holder["mesh"]),
+        return {**_place(staged),
                 "paths": batch["paths"], "shapes": batch["shapes"]}
 
+    # label-cache zero-first (torch_utils.py:27-36 analog): process 0 scans
+    # and writes the *.cache files, the rest wait and load them
+    if pc > 1 and not is_main:
+        sync_hosts("dataset_cache")
     train_loader, train_ds = create_mixed_dataloader(
-        data["train"], img_size=imgsz, batch_size=cfg.batch_size, augment=True,
+        data["train"], img_size=imgsz, batch_size=local_bs, augment=True,
         hyp=hyp, stride=max(spec.det_strides), single_cls=cfg.single_cls,
         workers=cfg.workers, max_targets=cfg.max_targets, seed=cfg.seed,
         stage=_stage, fast_decode=cfg.fast_decode,
         cache_images=cfg.cache_images, rect=cfg.rect, quad=cfg.quad,
+        rank=jax.process_index(), world_size=pc,
     )
-    val_loader, val_ds = create_mixed_dataloader(
-        data["val"], img_size=imgsz, batch_size=cfg.batch_size, augment=False,
-        rect=True, pad=0.5, stride=max(spec.det_strides),
-        single_cls=cfg.single_cls, workers=cfg.workers,
-        max_targets=cfg.max_targets, seed=cfg.seed,
-    )
-    nb = len(train_loader)
+    val_loader = None
+    if is_main:  # validation runs on process 0 only (train.py:319 analog)
+        val_loader, val_ds = create_mixed_dataloader(
+            data["val"], img_size=imgsz, batch_size=local_bs, augment=False,
+            rect=True, pad=0.5, stride=max(spec.det_strides),
+            single_cls=cfg.single_cls, workers=cfg.workers,
+            max_targets=cfg.max_targets, seed=cfg.seed,
+        )
+    if pc > 1 and is_main:
+        sync_hosts("dataset_cache")
+    # every process must run the same number of steps per epoch: the floor
+    # over ranks of the per-rank drop_last batch count (ranks may own one
+    # extra sample from the strided epoch permutation)
+    nb = (len(train_ds) // pc) // local_bs if pc > 1 else len(train_loader)
     class_weights = labels_to_class_weights(train_ds.det_labels, de_nc)
     LOGGER.info("class weights: %s", np.round(class_weights, 3))
 
@@ -317,6 +377,14 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     # --quad collate emits batch_size//4 images per batch (collate_quad);
     # device count must divide the EFFECTIVE per-batch image count
     eff_bs = cfg.batch_size // 4 if cfg.quad else cfg.batch_size
+    if pc > 1:
+        # multi-process SPMD must span every process's devices — a partial
+        # mesh would leave some processes without addressable shards
+        n_avail = len(jax.devices())
+        if eff_bs % n_avail:
+            raise ValueError(
+                f"multi-process: global batch of {eff_bs} images must be "
+                f"divisible by the {n_avail} global devices")
     sp = max(cfg.spatial, 1)
     if n_avail % sp:
         raise ValueError(
@@ -370,10 +438,12 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     }
 
     callbacks.run("on_train_start")
-    LOGGER.info(
-        "training %s on %s for %d epochs (%d batches/epoch, %d devices)",
-        cfg.cfg, cfg.data, cfg.epochs, nb, n_dev,
-    )
+    if is_main:
+        LOGGER.info(
+            "training %s on %s for %d epochs (%d batches/epoch, %d devices"
+            "%s)", cfg.cfg, cfg.data, cfg.epochs, nb, n_dev,
+            f", {pc} processes" if pc > 1 else "",
+        )
     t_start = time.time()
     final_results = {}
     rng = jax.random.PRNGKey(cfg.seed + 1)
@@ -398,6 +468,8 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         mloss = np.zeros(4, np.float64)  # box, obj, cls, seg running means
         t_ep = time.time()
         for i, batch in enumerate(train_loader):
+            if i >= nb:  # ranks may own one spare batch (multi-process)
+                break
             batch.pop("paths", None)
             batch.pop("shapes", None)
             already_staged = not isinstance(batch["image"], np.ndarray)
@@ -426,7 +498,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                         for m in batch["seg_labels"]
                     ])
             if not already_staged:
-                batch = shard_batch(batch, mesh)
+                batch = _place(batch)
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
             loss_hist.append((metrics["lbox"], metrics["lobj"],
@@ -441,23 +513,30 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                 mloss_n += len(loss_hist)
                 loss_hist.clear()
                 mloss = mloss_sum / max(mloss_n, 1)
-                LOGGER.info(
-                    "epoch %d/%d batch %d/%d  box %.4f obj %.4f cls %.4f "
-                    "seg %.4f  lr %.5f",
-                    epoch, cfg.epochs - 1, i + 1, nb, *mloss,
-                    float(metrics["lr"]),
-                )
+                if is_main:
+                    LOGGER.info(
+                        "epoch %d/%d batch %d/%d  box %.4f obj %.4f "
+                        "cls %.4f seg %.4f  lr %.5f",
+                        epoch, cfg.epochs - 1, i + 1, nb, *mloss,
+                        float(metrics["lr"]),
+                    )
             callbacks.run("on_train_batch_end")
         callbacks.run("on_train_epoch_end")
 
-        # validation with EMA weights (train.py:396-416)
+        # validation with EMA weights (train.py:396-416); multi-process:
+        # process 0 pulls the (fully-replicated) EMA tree to host and
+        # validates on its local device, then broadcasts the fitness so
+        # every process takes the same best-ckpt/early-stop decisions (the
+        # reference left this DDP broadcast commented out, train.py:450-458)
         results = dict(mp=0.0, mr=0.0, map50=0.0, map=0.0, miou=0.0,
                        pix_acc=0.0)
-        if not cfg.noval or epoch == cfg.epochs - 1:
+        if is_main and (not cfg.noval or epoch == cfg.epochs - 1):
             ema_vars = {
                 "params": state.ema_params,
                 "batch_stats": state.ema_batch_stats,
             }
+            if pc > 1:  # detach from the global mesh -> local single-device
+                ema_vars = jax.tree.map(np.asarray, ema_vars)
             callbacks.run("on_val_start")
             results = validator.run(ema_vars, val_loader)
             callbacks.run("on_val_end")
@@ -467,8 +546,13 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                          results["map"]]]),
             results["miou"],
         )[0])
+        if pc > 1:
+            from jax.experimental import multihost_utils
+
+            fi = float(multihost_utils.broadcast_one_to_all(
+                np.asarray(fi, np.float32)))
         row = {
-            "epoch": epoch,
+            "epoch": epoch,  # logger hooks are registered on process 0 only
             "train/box_loss": mloss[0], "train/obj_loss": mloss[1],
             "train/cls_loss": mloss[2], "train/seg_loss": mloss[3],
             "metrics/precision": results["mp"],
@@ -481,22 +565,23 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
             "x/lr": float(opt_cfg.lr0 * lf(epoch)),
         }
         callbacks.run("on_fit_epoch_end", row)
-        mem = ""
-        try:  # device memory in the epoch line (train.py:382 pbar analog)
-            ms = jax.local_devices()[0].memory_stats()
-            if ms and "bytes_in_use" in ms:
-                mem = f"  mem {ms['bytes_in_use'] / 2**30:.1f}G"
-        except Exception:
-            pass
-        LOGGER.info(
-            "epoch %d done in %.1fs  mAP50 %.4f mAP %.4f mIoU %.4f fitness "
-            "%.4f%s", epoch, time.time() - t_ep, results["map50"],
-            results["map"], results["miou"], fi, mem,
-        )
+        if is_main:
+            mem = ""
+            try:  # device memory in the epoch line (train.py:382 analog)
+                ms = jax.local_devices()[0].memory_stats()
+                if ms and "bytes_in_use" in ms:
+                    mem = f"  mem {ms['bytes_in_use'] / 2**30:.1f}G"
+            except Exception:
+                pass
+            LOGGER.info(
+                "epoch %d done in %.1fs  mAP50 %.4f mAP %.4f mIoU %.4f "
+                "fitness %.4f%s", epoch, time.time() - t_ep,
+                results["map50"], results["map"], results["miou"], fi, mem,
+            )
 
         if fi > best_fitness:
             best_fitness = fi
-        if not cfg.nosave:
+        if not cfg.nosave and is_main:
             ckpt.save_checkpoint(os.path.join(save_dir, "last"), state, epoch,
                                  best_fitness, meta)
             if best_fitness == fi:
@@ -512,13 +597,18 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                 wb.log_model(os.path.join(save_dir, "last"), epoch, fi,
                              best_model=best_fitness == fi,
                              total_epochs=cfg.epochs)
+        if pc > 1:
+            # checkpoint-boundary barrier: no process starts the next epoch
+            # (or exits) while process 0 is still writing artifacts
+            sync_hosts(f"ckpt_epoch_{epoch}")
         final_results = results
         if stopper(epoch, fi):
             break
 
-    LOGGER.info("training finished in %.1f min; best fitness %.4f",
-                (time.time() - t_start) / 60, best_fitness)
-    if not cfg.nosave:
+    if is_main:
+        LOGGER.info("training finished in %.1f min; best fitness %.4f",
+                    (time.time() - t_start) / 60, best_fitness)
+    if not cfg.nosave and is_main:
         # finalize: inference-only (EMA-promoted, no optimizer) checkpoint —
         # strip_optimizer analog (general.py:753-766, train.py:462-469)
         try:
@@ -528,5 +618,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
             LOGGER.warning("strip failed: %s", e)
     callbacks.run("on_train_end")
     callbacks.run("teardown")
+    if pc > 1:
+        sync_hosts("train_end")  # workers wait for process 0's finalization
     return {"save_dir": save_dir, "best_fitness": best_fitness,
             **final_results}

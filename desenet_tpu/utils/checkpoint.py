@@ -40,6 +40,25 @@ def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _checkpointer() -> ocp.Checkpointer:
+    """Checkpointer with PROCESS-LOCAL coordination. The default orbax
+    Checkpointer barriers across every jax process on save AND restore;
+    here only process 0 saves (the engine's host-0 artifact guard,
+    reference train.py:393) while restores happen either on all processes
+    (resume) or on process 0 alone (strip) — mismatched global barriers
+    would deadlock. Payloads are plain host-numpy trees (no distributed
+    arrays), so each process can act alone; the engine inserts its own
+    explicit sync_hosts barriers at checkpoint boundaries."""
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me}),
+        )
+    return ocp.PyTreeCheckpointer()
+
+
 def _has_key(tree, key: str) -> bool:
     if not isinstance(tree, dict):
         return False
@@ -70,7 +89,7 @@ def save_checkpoint(
             "best_fitness": np.asarray(best_fitness, np.float32),
         },
     }
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, payload, force=True)
     if meta is not None:
         meta = dict(meta)
@@ -86,7 +105,7 @@ def save_checkpoint(
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
     path = os.path.abspath(path)
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     payload = ckptr.restore(path)
     meta_path = os.path.join(path, "meta.json")
     meta = None
@@ -105,7 +124,7 @@ def strip_checkpoint(path: str, out_path: str):
         "params": payload["ema_params"] or payload["params"],
         "batch_stats": payload["ema_batch_stats"] or payload["batch_stats"],
     }
-    ckptr = ocp.PyTreeCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(os.path.abspath(out_path), slim, force=True)
     if payload.get("meta") is not None:
         meta = dict(payload["meta"])

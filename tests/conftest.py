@@ -21,6 +21,16 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU suite: many tests jit the SAME
+# programs (every engine test compiles the tiny train step; resume runs
+# recompile it verbatim), and the cache is shared across subprocess workers
+# (multihost tests) too. Cold suite cost drops accordingly; correctness is
+# keyed on HLO+flags by JAX itself.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 
