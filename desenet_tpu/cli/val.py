@@ -48,6 +48,9 @@ def run(
     int8=False,
     calib_batches=2,
     int8_bias_correct=True,
+    int8_mse_clip=False,
+    int8_weights_only=False,
+    int8_per_channel=True,
     act_store=None,
 ):
     # COCO-protocol exports need the sparse 91-id category space when the
@@ -102,9 +105,13 @@ def run(
         model, spec, _ = Q.quantize_for_inference(
             config_path(meta["cfg"]), variables, calib, nc=meta["de_nc"],
             se_nc=meta["se_nc"], dtype=dtype,
-            bias_correct=int8_bias_correct)
+            bias_correct=int8_bias_correct, mse_clip=int8_mse_clip,
+            weights_only=int8_weights_only,
+            per_channel_act=int8_per_channel)
         print(f"int8: calibrated on {len(calib)} batches "
-              f"(bias_correct={int8_bias_correct})")
+              f"(bias_correct={int8_bias_correct} mse_clip={int8_mse_clip} "
+              f"weights_only={int8_weights_only} "
+              f"per_channel={int8_per_channel})")
 
     nc = 1 if single_cls else int(data["de"]["nc"])
     se_nc = int(data["se"]["nc"])
@@ -224,13 +231,24 @@ def parse_opt(argv=None):
                         "(default: <data path>/annotations/instances_val2017.json)")
     p.add_argument("--int8", action="store_true",
                    help="int8 W8A8 PTQ inference (calibrates on train "
-                        "batches). Seg quality at parity; det mAP50 ~2%% "
-                        "rel below bf16 at the conf=0.001 tail even with "
-                        "bias correction — treat detection int8 as "
-                        "experimental (docs/QUANT.md)")
+                        "batches). Measured at parity on the s640 ckpt: "
+                        "mAP50 0.373 == bf16, mIoU 0.930 (per-channel "
+                        "activation scales + bias correction, the "
+                        "defaults); mAP@.5:.95 0.160 vs 0.166 "
+                        "(docs/QUANT.md)")
     p.add_argument("--int8-no-bias-correct", action="store_true",
                    help="ablation: disable weight-quantization bias "
                         "correction in the int8 path")
+    p.add_argument("--int8-mse-clip", action="store_true",
+                   help="per-channel MSE-optimal weight clip search instead "
+                        "of absmax scales (AdaRound-family cheap core)")
+    p.add_argument("--int8-weights-only", action="store_true",
+                   help="ablation: quantize weights only (fp activations) — "
+                        "isolates the weight-rounding share of the int8 gap")
+    p.add_argument("--int8-per-tensor", action="store_true",
+                   help="ablation: per-TENSOR activation scales (the "
+                        "round-3 mode; default is per-channel, folded into "
+                        "the kernels — same int8 program, better constants)")
     p.add_argument("--act-store", choices=["fp8", "fp8_e5m2"], default=None,
                    help="store block activations in fp8 (bf16 compute; "
                         "eval-only; a wash on v5e — see PERF.md — wins on "
@@ -273,6 +291,9 @@ def main(argv=None):
         o.plots, o.save_dir, o.workers, o.augment, o.save_txt, o.save_conf,
         o.save_json, coco_anno=o.coco_anno, int8=o.int8,
         int8_bias_correct=not o.int8_no_bias_correct,
+        int8_mse_clip=o.int8_mse_clip,
+        int8_weights_only=o.int8_weights_only,
+        int8_per_channel=not o.int8_per_tensor,
         save_hybrid=o.save_hybrid, act_store=o.act_store,
     )
 

@@ -420,7 +420,47 @@ class ConvBnAct(nn.Module):
             x, kernel, stride=self.s, padding=pad, dilation=self.d,
             groups=self.g, bn=bn, act=self._act_fn(), residual=residual,
             out_scale=self.quant.scale_for(Q.site_key(self, "out")),
-            in_mean=self.quant.mean_for(Q.site_key(self, "inmean")))
+            in_mean=self.quant.mean_for(Q.site_key(self, "inmean")),
+            mse_clip=self.quant.mse_clip)
+
+    def _w8_call(self, x, train: bool, residual=None):
+        """Weights-only mode (QuantCfg.weights_only): the ordinary fp graph
+        with the kernel round-tripped through per-channel int8. Isolates the
+        weight-rounding share of the full W8A8 accuracy gap (activations
+        stay in the compute dtype)."""
+        if isinstance(x, (list, tuple)):
+            x = jnp.concatenate(
+                [to_compute(v, self.dtype) for v in x], axis=-1)
+        p = autopad(self.k, self.p)
+        pad = ((p, p), (p, p)) if isinstance(p, int) else tuple(
+            (v, v) for v in p)
+        kernel = self.variables["params"]["conv"]["conv2d"]["kernel"]
+        qw, s_w = Q.quantize_kernel(kernel, mse_clip=self.quant.mse_clip)
+        wdq = (qw.astype(jnp.float32) * s_w)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wdq.astype(self.dtype),
+            (self.s, self.s), pad, rhs_dilation=(self.d, self.d),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.g)
+        if x.shape[1] * x.shape[2] > 1:  # BN-skip quirk (common.py:53)
+            y = self.bn(y, train)
+        if self.quant.bias_correct and self.g == 1:
+            im = self.quant.mean_for(Q.site_key(self, "inmean"))
+            if im is not None:
+                corr = jnp.einsum(
+                    "hwio,i->o",
+                    wdq - kernel.astype(jnp.float32),
+                    jnp.asarray(im, jnp.float32))
+                if x.shape[1] * x.shape[2] > 1:
+                    bs = self.variables["batch_stats"]["bn"]["bn"]
+                    pbn = self.variables["params"]["bn"]["bn"]
+                    s_bn, _ = Q.bn_fold_constants(pbn, bs)
+                    corr = corr * s_bn
+                y = y - corr.astype(y.dtype)
+        y = self._act(y)
+        if residual is not None:
+            y = y + residual
+        return y
 
     def __call__(self, x, train: bool = False, residual=None):
         """``residual`` (optional): shortcut tensor added AFTER the
@@ -431,6 +471,9 @@ class ConvBnAct(nn.Module):
         if (q is not None and q.is_int8 and not train
                 and not self.is_initializing()):
             return self._int8_call(x, residual=residual)
+        if (q is not None and q.is_w8 and not train
+                and not self.is_initializing()):
+            return self._w8_call(x, train, residual=residual)
         if q is not None and q.is_int8:
             # initializing an int8-mode model: run the fp path to create
             # params, keep the QTensor typing contract for consumers
@@ -453,13 +496,9 @@ class ConvBnAct(nn.Module):
         if q is not None:
             if q.is_calib:
                 xs = x if isinstance(x, (list, tuple)) else [x]
-                # input-site range (absmax): used only when this conv sits at
-                # a quant boundary and must quantize an fp input itself
-                self.sow("qcal", "in",
-                         jnp.stack([jnp.max(jnp.abs(v.astype(jnp.float32)))
-                                    for v in xs]).max(),
-                         init_fn=lambda: jnp.asarray(0.0, jnp.float32),
-                         reduce_fn=jnp.maximum)
+                # input-site range: used only when this conv sits at a
+                # quant boundary and must quantize an fp input itself
+                Q.sow_in_range(self, "in", xs)
                 Q.sow_channel_mean(self, "inmean", xs)
                 Q.sow_absmax(self, "out", y)
             elif q.is_int8:  # initializing
@@ -582,11 +621,38 @@ class C3(nn.Module):
         q = self.quant
         q_live = (q is not None and q.is_int8 and not train
                   and not self.is_initializing())
+        w8_live = (q is not None and q.is_w8 and not train
+                   and not self.is_initializing())
         if self.fused:
             if q_live:
                 yq = self._int8_fused_stem(x)
-                y1 = QTensor(yq.data[..., :c_], yq.scale)
-                y2 = QTensor(yq.data[..., c_:], yq.scale)
+                y1 = Q.qt_slice(yq, 0, c_)
+                y2 = Q.qt_slice(yq, c_, yq.data.shape[-1])
+            elif w8_live:
+                # weights-only mode: fp cv12 with the kernel round-tripped
+                # through per-channel int8 (see ConvBnAct._w8_call)
+                kernel = self.variables["params"]["cv12"]["conv2d"]["kernel"]
+                qw, s_w = Q.quantize_kernel(kernel, mse_clip=q.mse_clip)
+                wdq = qw.astype(jnp.float32) * s_w
+                xs = x if isinstance(x, (list, tuple)) else [x]
+                xc = jnp.concatenate(
+                    [to_compute(v, self.dtype) for v in xs], axis=-1)
+                y = jax.lax.conv_general_dilated(
+                    xc, wdq.astype(self.dtype), (1, 1), ((0, 0), (0, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                y = BatchNorm(self.dtype, name="bn12")(y, train)
+                if q.bias_correct:
+                    im = q.mean_for(Q.site_key(self, "cv12_inmean"))
+                    if im is not None:
+                        corr = jnp.einsum(
+                            "hwio,i->o", wdq - kernel.astype(jnp.float32),
+                            jnp.asarray(im, jnp.float32))
+                        s_bn, _ = Q.bn_fold_constants(
+                            self.variables["params"]["bn12"]["bn"],
+                            self.variables["batch_stats"]["bn12"]["bn"])
+                        y = y - (corr * s_bn).astype(y.dtype)
+                y = silu(y)
+                y1, y2 = y[..., :c_], y[..., c_:]
             else:
                 if q is not None and q.is_int8:  # initializing
                     if isinstance(x, (list, tuple)):
@@ -605,8 +671,8 @@ class C3(nn.Module):
                 if q is not None and q.is_int8:  # initializing
                     y = Q.quantize(
                         y, q.scale_for(Q.site_key(self, "cv12_out")))
-                    y1 = QTensor(y.data[..., :c_], y.scale)
-                    y2 = QTensor(y.data[..., c_:], y.scale)
+                    y1 = Q.qt_slice(y, 0, c_)
+                    y2 = Q.qt_slice(y, c_, y.data.shape[-1])
                 else:
                     y = _store_act(y, train)
                     y1, y2 = y[..., :c_], y[..., c_:]
@@ -719,6 +785,8 @@ class Focus(nn.Module):
         ]
         y = jnp.concatenate(parts, axis=-1)
         if scale is not None:
+            if isinstance(scale, tuple):
+                scale = scale * 4  # channel concat of 4 same-scaled slices
             y = QTensor(y, scale)
         return ConvBnAct(
             self.c2, self.k, self.s, self.p, self.g, act=self.act,
@@ -969,18 +1037,20 @@ class FFM(nn.Module):
             # int8: attention stats read feat as int8; the (B,1,1,C) gate
             # then folds into one fused multiply+requant pass
             att = (jnp.mean(feat.data.astype(jnp.float32), axis=(1, 2),
-                            keepdims=True) * feat.scale).astype(self.dtype)
+                            keepdims=True)
+                   * Q.scale_arr(feat.scale)).astype(self.dtype)
             att = Conv2d(self.c2 // self.reduction, 1, use_bias=False,
                          dtype=self.dtype, name="att_fc1")(att)
             att = silu(att)
             att = Conv2d(self.c2, 1, use_bias=False, dtype=self.dtype,
                          name="att_fc2")(att)
             gate = (jax.nn.sigmoid(att) + 1.0).astype(jnp.float32)
-            y = feat.data.astype(jnp.float32) * (feat.scale * gate)
+            y = feat.data.astype(jnp.float32) * (Q.scale_arr(feat.scale)
+                                                 * gate)
             s_out = q.scale_for(Q.site_key(self, "gate"))
             return QTensor(
-                jnp.clip(jnp.round(y / s_out), -Q.QMAX, Q.QMAX).astype(
-                    jnp.int8), s_out)
+                jnp.clip(jnp.round(y / Q.scale_arr(s_out)), -Q.QMAX,
+                         Q.QMAX).astype(jnp.int8), s_out)
         if isinstance(feat, QTensor):  # initializing
             feat = Q.dequantize(feat, self.dtype)
         att = jnp.mean(feat.astype(jnp.float32), axis=(1, 2), keepdims=True).astype(

@@ -233,3 +233,93 @@ def test_quantize_for_inference_carries_means(tiny_fp, rng):
     # still runs end to end
     (dec_q, _), seg_q = int8_model.apply(variables, x, train=False)
     assert jnp.isfinite(dec_q).all()
+
+
+def test_mse_clip_never_worse_than_absmax(rng):
+    """quantize_kernel(mse_clip=True) can only improve reconstruction MSE
+    (absmax sits in the candidate grid at r=1.0). Measured finding
+    (PERF.md round 4): at int8 with per-channel scales and ~300-weight
+    channels, absmax is already MSE-optimal for realistic weight
+    distributions — the search ties it, so mse_clip is a no-op lever here
+    (it matters at 4-bit granularity); kept for the record."""
+    for w in (
+        rng.normal(0, 0.05, (3, 3, 32, 16)).astype(np.float32),
+        rng.laplace(0, 0.03, (3, 3, 32, 16)).astype(np.float32),
+        (rng.standard_t(3, (3, 3, 32, 16)) * 0.02).astype(np.float32),
+    ):
+        kern = jnp.asarray(w)
+        qa, sa = Q.quantize_kernel(kern)
+        qm, sm = Q.quantize_kernel(kern, mse_clip=True)
+        err_a = float(jnp.sum((qa * sa - kern) ** 2))
+        err_m = float(jnp.sum((qm * sm - kern) ** 2))
+        assert err_m <= err_a * (1 + 1e-6), (err_m, err_a)
+
+
+@pytest.mark.slow
+def test_int8_weights_only_and_mse_clip_model(tiny_fp, rng):
+    """Ablation modes run end to end: weights-only (fp activations) tracks
+    the fp model at least as closely as full W8A8, and mse_clip full-int8
+    stays in the same accuracy band."""
+    model, spec, variables = tiny_fp
+    variables = _boost_variables(variables, rng)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+
+    (dec_fp, _), _ = model.apply(variables, x, train=False)
+    dec_fp = np.asarray(dec_fp, np.float32)
+
+    def cos(a, b):
+        a, b = a.ravel(), b.ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    m_full, _, _ = Q.quantize_for_inference(CFG, variables, [x])
+    (dec_full, _), _ = m_full.apply(variables, x, train=False)
+
+    m_w8, _, _ = Q.quantize_for_inference(CFG, variables, [x],
+                                          weights_only=True)
+    assert m_w8.quant.is_w8 and not m_w8.quant.is_int8
+    (dec_w8, _), _ = m_w8.apply(variables, x, train=False)
+
+    m_clip, _, _ = Q.quantize_for_inference(CFG, variables, [x],
+                                            mse_clip=True)
+    (dec_clip, _), _ = m_clip.apply(variables, x, train=False)
+
+    c_full = cos(dec_fp, np.asarray(dec_full, np.float32))
+    c_w8 = cos(dec_fp, np.asarray(dec_w8, np.float32))
+    c_clip = cos(dec_fp, np.asarray(dec_clip, np.float32))
+    assert c_w8 > 0.99, c_w8
+    assert c_w8 >= c_full - 1e-3, (c_w8, c_full)  # strictly fewer error sources
+    assert c_clip > 0.98, c_clip
+
+
+@pytest.mark.slow
+def test_int8_per_channel_activations(tiny_fp, rng):
+    """per_channel_act: vector activation scales thread the whole graph
+    (concat = scale-vector concat, C3 split = scale slice, Focus = 4x tile)
+    and track the fp model at least as well as per-tensor scales."""
+    model, spec, variables = tiny_fp
+    variables = _boost_variables(variables, rng)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+
+    (dec_fp, _), seg_fp = model.apply(variables, x, train=False)
+    dec_fp = np.asarray(dec_fp, np.float32)
+
+    def cos(a, b):
+        a, b = a.ravel(), b.ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    m_pt, _, _ = Q.quantize_for_inference(CFG, variables, [x])
+    (dec_pt, _), _ = m_pt.apply(variables, x, train=False)
+
+    m_pc, _, scales = Q.quantize_for_inference(CFG, variables, [x],
+                                               per_channel_act=True)
+    assert any(isinstance(s, tuple) for _, s in scales)  # vectors calibrated
+    (dec_pc, _), seg_pc = m_pc.apply(variables, x, train=False)
+
+    c_pt = cos(dec_fp, np.asarray(dec_pt, np.float32))
+    c_pc = cos(dec_fp, np.asarray(dec_pc, np.float32))
+    assert np.isfinite(np.asarray(dec_pc)).all()
+    assert c_pc > 0.98, c_pc
+    assert c_pc >= c_pt - 5e-3, (c_pc, c_pt)
+    # per-element error must not blow up anywhere
+    assert float(np.abs(dec_fp[..., :2]
+                        - np.asarray(dec_pc)[..., :2]).mean()) < 1.0

@@ -79,6 +79,7 @@ def main(argv=None):
 
     enable_compile_cache(_REPO)
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
