@@ -420,10 +420,12 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         best_fitness = float(resumed["counters"]["best_fitness"])
     state = replicate_tree(state, mesh)
 
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(variables["params"]))
     step_fn = make_train_step(
         model, det_loss, opt_cfg, lf, nb=nb, warmup_iters=warmup_iters,
         nominal_bs=cfg.nbs, batch_size=cfg.batch_size, det_gain=cfg.det_gain,
-        seg_gain=cfg.seg_gain, freeze=cfg.freeze,
+        seg_gain=cfg.seg_gain, freeze=cfg.freeze, n_params=n_params,
     )
 
     validator = Validator(

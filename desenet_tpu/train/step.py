@@ -53,6 +53,9 @@ def make_train_step(
     compiler_options="auto",  # "auto" = latency-hiding sched on TPU;
     # None for callers that NEST the step inside another jit (jax rejects
     # compiler_options on non-top-level jits, e.g. probe scan chains)
+    n_params: Optional[int] = None,  # model parameter count; gates the
+    # "auto" latency-hiding scheduler (measured win ONLY for the s-scale
+    # model at b128; REGRESSION at m/b128 and s/b64 — PERF.md rounds 3-4)
     _force_select_path: bool = False,  # test hook: disable the always-step
     # specialization to compare it bit-for-bit against the general path
 ):
@@ -224,13 +227,16 @@ def make_train_step(
     # DESENET_NO_LHS=1 disables (escape hatch).
     kw = {}
     if compiler_options == "auto":
-        # Measured per-shape on v5e (PERF.md round 3): +11% at b128/640
-        # (539 -> 593-605 img/s), -6% at b64/640 (452 -> 425) — the
-        # scheduler's prefetch aggressiveness pays off only once the
-        # per-layer working sets are large enough to hide behind compute.
-        # Auto-enable at the high-throughput batch; override explicitly
-        # (compiler_options={...}/None) or via DESENET_NO_LHS for others.
+        # Measured per-shape AND per-scale on v5e (PERF.md rounds 3-4):
+        # +11% at s/b128/640 (539 -> 593-605 img/s), -6% at s/b64/640
+        # (452 -> 425), -5% at m/b128/640 (289 -> 275) — the scheduler's
+        # prefetch aggressiveness pays off only in the s-model's
+        # bandwidth-bound regime at the large batch. Auto-enable needs BOTH
+        # the batch and a small-model hint (n_params from the caller;
+        # unknown -> off, the safe default). Override explicitly
+        # (compiler_options={...}/None) or via DESENET_NO_LHS.
         if (jax.default_backend() == "tpu" and batch_size >= 128
+                and n_params is not None and n_params < 15_000_000
                 and not os.environ.get("DESENET_NO_LHS")):
             kw["compiler_options"] = {
                 "xla_tpu_enable_latency_hiding_scheduler": "true"}

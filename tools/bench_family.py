@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--models", type=str, default="s,m,l")
+    ap.add_argument("--ca", action="store_true",
+                    help="print cost_analysis bytes + HBM roofline split "
+                         "(AOT cost_analysis is slow over the tunnel)")
+    ap.add_argument("--pre-topk", type=int, default=None,
+                    help="override PRE_TOPK_PRODUCTION (knob validation "
+                         "at m/l scale)")
     args = ap.parse_args()
 
     from desenet_tpu.models import build_model, config_path, init_model
@@ -51,11 +57,17 @@ def main():
                                batch=1)
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
 
-        def digest(variables, x):
+        pre_topk = (args.pre_topk if args.pre_topk is not None
+                    else PRE_TOPK_PRODUCTION)
+
+        def digest(variables, x_u8):
+            # uint8 widened in-graph — the Predictor's exact program
+            # (bench.py round 4)
+            x = x_u8.astype(model.dtype) / 255.0
             (dec, feats), seg = model.apply(variables, x, train=False)
             nms = non_max_suppression(dec, conf_thres=0.25, iou_thres=0.45,
                                       max_det=300,
-                                      pre_topk=PRE_TOPK_PRODUCTION)
+                                      pre_topk=pre_topk)
             seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
             return (nms.boxes.sum() + nms.scores.sum()
                     + nms.num.sum().astype(jnp.float32)
@@ -63,15 +75,22 @@ def main():
 
         @jax.jit
         def make_inputs(key):
-            return jax.random.uniform(
-                key, (ITERS, B, S // 4, S // 4, 48), jnp.bfloat16)
+            return jax.random.randint(
+                key, (ITERS, B, S // 4, S // 4, 48), 0, 256,
+                jnp.int32).astype(jnp.uint8)
 
         # weights closed over (compile-time constants), like bench.py:
         # measured 6% faster than passing variables as a jit argument
-        @jax.jit
-        def chain(xs):
+        def chain_fn(xs):
             return jax.lax.scan(
                 lambda c, x: (c + digest(variables, x), None), 0.0, xs)[0]
+
+        opt_env = os.environ.get("DESENET_FAMILY_XLA_OPTS", "")
+        opts = dict(kv.split("=", 1) for kv in opt_env.split(",")
+                    if "=" in kv)
+        chain = jax.jit(chain_fn).lower(jax.ShapeDtypeStruct(
+            (ITERS, B, S // 4, S // 4, 48), jnp.uint8)).compile(
+                compiler_options=opts or None)
 
         xs_warm = jax.block_until_ready(make_inputs(jax.random.PRNGKey(3)))
         float(chain(xs_warm))
@@ -80,9 +99,23 @@ def main():
         t0 = time.perf_counter()
         float(chain(xs))
         dt = (time.perf_counter() - t0) / ITERS
-        print(f"yolov5{name}_seg: {n_params / 1e6:.2f}M params  "
-              f"b{B}@{S}px  {dt * 1e3:.1f} ms/batch  "
-              f"{B / dt:.0f} img/s/chip")
+        line = (f"yolov5{name}_seg: {n_params / 1e6:.2f}M params  "
+                f"b{B}@{S}px  {dt * 1e3:.1f} ms/batch  "
+                f"{B / dt:.0f} img/s/chip")
+        if args.ca:
+            # cost_analysis counts the lax.scan BODY once (not trip-count
+            # times), so the raw numbers already are per-iteration
+            ca = chain.cost_analysis()
+            gb = ca.get("bytes accessed", 0.0) / 1e9
+            tf = ca.get("flops", 0.0) / 1e12
+            hbm_ms = gb / 0.82   # v5e ~0.82 TB/s usable HBM
+            mxu_ms = tf / 0.197  # v5e ~197 bf16 TFLOP/s peak
+            floor = max(hbm_ms, mxu_ms)
+            line += (f"  | {gb:.1f} GB, {tf:.1f} TF/iter -> floors HBM "
+                     f"{hbm_ms:.1f} / MXU {mxu_ms:.1f} ms; at "
+                     f"{100 * floor / (dt * 1e3):.0f}% of "
+                     f"{'HBM' if hbm_ms >= mxu_ms else 'MXU'} roofline")
+        print(line)
         del xs, variables
 
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 SIZE = int(os.environ.get("PROBE_SIZE", "640"))
 B = int(os.environ.get("PROBE_B", "64"))
 ITERS = int(os.environ.get("PROBE_ITERS", "4"))
+CFG = os.environ.get("PROBE_CFG", "yolov5s_seg")  # family knob validation
 
 
 def main():
@@ -27,7 +28,7 @@ def main():
     from desenet_tpu.train import create_train_state, make_train_step, one_cycle
     from desenet_tpu.train.optim import OptimConfig
 
-    model, spec = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16,
+    model, spec = build_model(config_path(CFG), dtype=jnp.bfloat16,
                               fused_csp=False)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE,
                            batch=1)
