@@ -16,7 +16,7 @@ and run as one fused jit (forward + decode + NMS + seg argmax).
 from __future__ import annotations
 
 import os
-from typing import List, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 import cv2
 import jax
@@ -165,33 +165,58 @@ class Predictor:
                  conf_thres: float = 0.25, iou_thres: float = 0.45,
                  max_det: int = 300, half: bool = True,
                  stem_s2d: bool = None, n_devices: int = 1,
-                 bake_weights: bool = True):
+                 bake_weights: bool = True,
+                 int8: bool = False, calib: Optional[Sequence] = None):
         variables, meta = load_inference_variables(weights)
         assert meta is not None, "checkpoint missing meta.json"
         dtype = jnp.bfloat16 if half else jnp.float32
-        if stem_s2d is None:
+        self.int8 = int8
+        if int8:
+            # W8A8 PTQ serving (quant.py; measured det mAP50 == bf16, seg
+            # mIoU at parity with the default per-channel scales + bias
+            # correction — docs/QUANT.md). Calibrates on the caller's
+            # representative images; the quantized graph replaces the
+            # phase-stem/fused-tail program (those paths are fp-only), so
+            # int8 serving trades the stem specialization for halved
+            # activation memory.
+            assert calib, ("int8=True needs calib=[...]: a few "
+                           "representative images (paths/arrays/PIL)")
+            from desenet_tpu import quant as Q
+
+            imgs = [self._to_bgr(im) for im in calib]
+            lb = [letterbox(im, imgsz, auto=False, stride=32)[0]
+                  for im in imgs]
+            cal = jnp.asarray(
+                np.stack([np.ascontiguousarray(x[:, :, ::-1]) for x in lb]),
+                jnp.float32) / 255.0
+            self.model, self.spec, _ = Q.quantize_for_inference(
+                config_path(meta["cfg"]), variables, [cal],
+                nc=meta["de_nc"], se_nc=meta["se_nc"], dtype=dtype)
+            stem_s2d = False
+        elif stem_s2d is None:
             # phase-layout stem (models/layers.py PhaseStemA/B): host
             # delivers s2d4 batches, l0/l1 run MXU-deep — TPU win only
             stem_s2d = jax.default_backend() == "tpu"
         # seg_upsample=False: 1/8-res logits + the fused Pallas upsample/
         # argmax tail (ops/seg_pallas.py; XLA composition off-TPU) — same
         # class map, no full-res logits round-trip
-        try:
-            self.model, self.spec = build_model(
-                config_path(meta["cfg"]), nc=meta["de_nc"],
-                se_nc=meta["se_nc"], dtype=dtype, seg_upsample=False,
-                stem_s2d=stem_s2d,
-            )
-            if stem_s2d:  # validate the stem shape eagerly
-                from desenet_tpu.models.build import _check_stem_s2d
-                _check_stem_s2d(self.spec, None)
-        except ValueError:
-            stem_s2d = False
-            self.model, self.spec = build_model(
-                config_path(meta["cfg"]), nc=meta["de_nc"],
-                se_nc=meta["se_nc"], dtype=dtype, seg_upsample=False,
-            )
-        self.stem_s2d = stem_s2d
+        if not int8:
+            try:
+                self.model, self.spec = build_model(
+                    config_path(meta["cfg"]), nc=meta["de_nc"],
+                    se_nc=meta["se_nc"], dtype=dtype, seg_upsample=False,
+                    stem_s2d=stem_s2d,
+                )
+                if stem_s2d:  # validate the stem shape eagerly
+                    from desenet_tpu.models.build import _check_stem_s2d
+                    _check_stem_s2d(self.spec, None)
+            except ValueError:
+                stem_s2d = False
+                self.model, self.spec = build_model(
+                    config_path(meta["cfg"]), nc=meta["de_nc"],
+                    se_nc=meta["se_nc"], dtype=dtype, seg_upsample=False,
+                )
+        self.stem_s2d = bool(stem_s2d)
         self.variables = variables
         self.imgsz = imgsz
         self.stride = max(self.spec.det_strides)
@@ -237,7 +262,10 @@ class Predictor:
                 dec, conf_thres=conf_thres, iou_thres=iou_thres,
                 max_det=max_det,
             )
-            seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
+            if int8:  # quantized graph emits full-res logits
+                seg_cls = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+            else:
+                seg_cls = upsample_argmax(seg, scale=8, align_corners=True)
             return nms, seg_cls
 
         if bake_weights:

@@ -13,6 +13,7 @@ scripts/detect.py:36-62 file loop).
 from __future__ import annotations
 
 import argparse
+import os
 
 from desenet_tpu.api import Predictor
 from desenet_tpu.serve import InferenceServer
@@ -51,14 +52,31 @@ def main(argv=None):
                              "HBM copy across all batch buckets at a ~6%% "
                              "throughput cost (use for large models with "
                              "many buckets)")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the int8 W8A8 quantized model "
+                             "(measured det mAP50 == bf16, seg mIoU at "
+                             "parity — docs/QUANT.md); needs --calib-dir")
+    parser.add_argument("--calib-dir", default=None,
+                        help="directory of representative images for int8 "
+                             "activation calibration (a handful suffices)")
     args = parser.parse_args(argv)
 
     set_logging()
+    calib = None
+    if args.int8:
+        import glob
+
+        assert args.calib_dir, "--int8 needs --calib-dir"
+        calib = sorted(
+            p for p in glob.glob(os.path.join(args.calib_dir, "*"))
+            if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))[:16]
+        assert calib, f"no images found in {args.calib_dir}"
     predictor = Predictor(
         args.weights, imgsz=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, max_det=args.max_det,
         half=not args.no_half, n_devices=args.n_devices,
         bake_weights=not args.no_bake_weights,
+        int8=args.int8, calib=calib,
     )
     server = InferenceServer(predictor, host=args.host, port=args.port,
                              max_batch=args.max_batch,

@@ -438,3 +438,27 @@ def test_export_consumed_outside_framework(train_run, tmp_path):
         capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path))
     assert proc.returncode == 0, proc.stderr
     assert "detections" in proc.stdout and "seg class histogram" in proc.stdout
+
+
+def test_predictor_int8(train_run, micro_root):
+    """int8 serving path (round 4): Predictor(int8=True) calibrates on
+    caller images, runs the quantized graph (full-res seg argmax, no
+    phase stem), and returns the same surface as the fp Predictor."""
+    from desenet_tpu.api import load_predictor
+
+    val_dir = os.path.join(micro_root, "Images", "val")
+    imgs = [os.path.join(val_dir, f) for f in sorted(os.listdir(val_dir))[:3]]
+    w = os.path.join(train_run["save_dir"], "last")
+    kw = dict(imgsz=64, half=False, conf_thres=1e-6, max_det=20)
+    q = load_predictor(w, int8=True, calib=imgs[:2], **kw)
+    assert q.int8 and q.stem_s2d is False
+    fp = load_predictor(w, stem_s2d=False, **kw)
+
+    rq, rf = q([imgs[0]]), fp([imgs[0]])
+    assert rq.masks[0].shape == rf.masks[0].shape == (96, 96)
+    assert len(rq.xyxy[0]) > 0 and len(rf.xyxy[0]) > 0
+    # quantized masks track fp (seg is at parity on real ckpts)
+    assert (rq.masks[0] != rf.masks[0]).mean() < 0.1
+
+    with pytest.raises(AssertionError, match="calib"):
+        load_predictor(w, int8=True, **kw)
