@@ -20,6 +20,7 @@ import jax.numpy as jnp
 SIZE = 640
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 ITERS = 8
+CFG = os.environ.get("PROFILE_CFG", "yolov5s_seg")  # family attribution
 
 
 def reduce_out(o):
@@ -51,7 +52,7 @@ def main():
     from desenet_tpu.ops import non_max_suppression, PRE_TOPK_PRODUCTION
     from desenet_tpu.ops.seg_pallas import upsample_argmax
 
-    model, spec = build_model(config_path("yolov5s_seg"), dtype=jnp.bfloat16,
+    model, spec = build_model(config_path(CFG), dtype=jnp.bfloat16,
                               seg_upsample=False, stem_s2d=True)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE,
                            batch=1)
