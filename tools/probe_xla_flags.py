@@ -17,6 +17,7 @@ SIZE = int(os.environ.get("PROBE_SIZE", "640"))
 B = int(os.environ.get("PROBE_B", "64"))
 ITERS = int(os.environ.get("PROBE_ITERS", "4"))
 CFG = os.environ.get("PROBE_CFG", "yolov5s_seg")  # family knob validation
+REMAT = os.environ.get("PROBE_REMAT") == "1"  # activation rematerialization
 
 
 def main():
@@ -29,7 +30,7 @@ def main():
     from desenet_tpu.train.optim import OptimConfig
 
     model, spec = build_model(config_path(CFG), dtype=jnp.bfloat16,
-                              fused_csp=False)
+                              fused_csp=False, remat=REMAT)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE,
                            batch=1)
     det = spec.layers[spec.det_layer]
