@@ -179,8 +179,10 @@ class Predictor:
             # phase-stem/fused-tail program (those paths are fp-only), so
             # int8 serving trades the stem specialization for halved
             # activation memory.
-            assert calib, ("int8=True needs calib=[...]: a few "
-                           "representative images (paths/arrays/PIL)")
+            if not calib:  # ValueError survives python -O (assert doesn't)
+                raise ValueError(
+                    "int8=True needs calib=[...]: a few representative "
+                    "images (paths/arrays/PIL)")
             from desenet_tpu import quant as Q
 
             imgs = [self._to_bgr(im) for im in calib]

@@ -66,11 +66,14 @@ def main(argv=None):
     if args.int8:
         import glob
 
-        assert args.calib_dir, "--int8 needs --calib-dir"
+        # user-input validation must survive `python -O` (assert does not)
+        if not args.calib_dir:
+            parser.error("--int8 needs --calib-dir")
         calib = sorted(
             p for p in glob.glob(os.path.join(args.calib_dir, "*"))
             if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")))[:16]
-        assert calib, f"no images found in {args.calib_dir}"
+        if not calib:
+            parser.error(f"no images found in {args.calib_dir}")
     predictor = Predictor(
         args.weights, imgsz=args.img_size, conf_thres=args.conf_thres,
         iou_thres=args.iou_thres, max_det=args.max_det,

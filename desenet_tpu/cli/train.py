@@ -105,6 +105,10 @@ def parse_opt(argv=None):
                         "2x upscale)")
     p.add_argument("--freeze", type=int, default=0,
                    help="freeze first N layers")
+    p.add_argument("--no-fused-seg-loss", action="store_true",
+                   help="materialize full-res seg logits for the CE loss "
+                        "(the literal reference formulation) instead of the "
+                        "tiled fused upsample+CE kernel")
     p.add_argument("--cache-images", choices=("ram", "disk"), default=None,
                    help="decode+resize each train image once: 'ram' pins "
                         "arrays, 'disk' writes mmap'd .npy files")
@@ -179,6 +183,7 @@ def main(argv=None):
         cache_images=o.cache_images, rect=o.rect, quad=o.quad,
         freeze=o.freeze, entity=o.entity, bbox_interval=o.bbox_interval,
         artifact_alias=o.artifact_alias,
+        fused_seg_loss=not o.no_fused_seg_loss,
     )
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)

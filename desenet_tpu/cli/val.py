@@ -51,6 +51,7 @@ def run(
     int8_mse_clip=False,
     int8_weights_only=False,
     int8_per_channel=True,
+    int8_fp_hops=1,
     act_store=None,
 ):
     # COCO-protocol exports need the sparse 91-id category space when the
@@ -107,11 +108,11 @@ def run(
             se_nc=meta["se_nc"], dtype=dtype,
             bias_correct=int8_bias_correct, mse_clip=int8_mse_clip,
             weights_only=int8_weights_only,
-            per_channel_act=int8_per_channel)
+            per_channel_act=int8_per_channel, det_fp_hops=int8_fp_hops)
         print(f"int8: calibrated on {len(calib)} batches "
               f"(bias_correct={int8_bias_correct} mse_clip={int8_mse_clip} "
               f"weights_only={int8_weights_only} "
-              f"per_channel={int8_per_channel})")
+              f"per_channel={int8_per_channel} fp_hops={int8_fp_hops})")
 
     nc = 1 if single_cls else int(data["de"]["nc"])
     se_nc = int(data["se"]["nc"])
@@ -242,6 +243,11 @@ def parse_opt(argv=None):
     p.add_argument("--int8-mse-clip", action="store_true",
                    help="per-channel MSE-optimal weight clip search instead "
                         "of absmax scales (AdaRound-family cheap core)")
+    p.add_argument("--int8-fp-hops", type=int, default=1,
+                   help="keep this many compute layers upstream of Detect "
+                        "full-precision under --int8 (1 = the direct "
+                        "det-src layers; 2 also keeps their producers fp — "
+                        "the mAP@.5:.95 tail-precision lever)")
     p.add_argument("--int8-weights-only", action="store_true",
                    help="ablation: quantize weights only (fp activations) — "
                         "isolates the weight-rounding share of the int8 gap")
@@ -294,6 +300,7 @@ def main(argv=None):
         int8_mse_clip=o.int8_mse_clip,
         int8_weights_only=o.int8_weights_only,
         int8_per_channel=not o.int8_per_tensor,
+        int8_fp_hops=o.int8_fp_hops,
         save_hybrid=o.save_hybrid, act_store=o.act_store,
     )
 

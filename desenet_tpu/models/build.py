@@ -394,6 +394,11 @@ class DeSeNet(nn.Module):
     # activations on the EVAL path: ConvBnAct outputs are written to HBM in
     # this dtype, compute stays in `dtype` (layers.act_store_scope). Layers
     # feeding Detect are excluded (same policy as int8). None = off.
+    det_fp_hops: int = 1  # how many COMPUTE layers upstream of Detect stay
+    # full-precision under int8/fp8 modes. 1 (default) = the direct det-src
+    # layers (through pass-through rows); 2 also keeps their producers fp —
+    # the int8 mAP@.5:.95 tail-precision lever (tight-IoU box regression
+    # noise enters through the quantized neck features; docs/QUANT.md)
 
     # modules that natively carry QTensors through the int8 path; others
     # receive dequantized inputs from the walker
@@ -412,19 +417,25 @@ class DeSeNet(nn.Module):
         # expand the exclusion through pass-through rows (Concat/Upsample/
         # Contract/Expand carry their inputs' precision unchanged) so the
         # "layers feeding Detect stay full-precision" policy reaches the
-        # producing compute layers even when Detect reads a reshaping row
+        # producing compute layers even when Detect reads a reshaping row.
+        # det_fp_hops > 1 additionally walks that many COMPUTE layers
+        # upstream (each compute row costs a hop, pass-throughs are free).
         passthrough = {"Concat", "Upsample", "Contract", "Expand"}
+        budget = {i: int(self.det_fp_hops) for i in det_srcs}
         frontier = list(det_srcs)
         while frontier:
             i = frontier.pop()
             if i < 0:
                 continue
             row = self.spec.layers[i]
-            if row.name in passthrough:
-                for j in row.f:  # absolute indices; -1 = the model input
-                    if j >= 0 and j not in det_srcs:
-                        det_srcs.add(j)
-                        frontier.append(j)
+            nb = budget[i] if row.name in passthrough else budget[i] - 1
+            if nb <= 0:
+                continue
+            for j in row.f:  # absolute indices; -1 = the model input
+                if j >= 0 and budget.get(j, 0) < nb:
+                    det_srcs.add(j)
+                    budget[j] = nb
+                    frontier.append(j)
         self._quant_skip = det_srcs
         if self.stem_s2d:
             _check_stem_s2d(self.spec, self.quant)
@@ -581,7 +592,8 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 dtype=jnp.float32, quant=None,
                 decode_cat: bool = True,
                 stem_s2d: bool = False,
-                act_store=None) -> Tuple[DeSeNet, ModelSpec]:
+                act_store=None,
+                det_fp_hops: int = 1) -> Tuple[DeSeNet, ModelSpec]:
     if isinstance(act_store, str):
         act_store = {"fp8": jnp.float8_e4m3fn,
                      "fp8_e4m3": jnp.float8_e4m3fn,
@@ -594,7 +606,8 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
     return DeSeNet(spec=spec, dtype=dtype, remat=remat,
                    fused_csp=fused_csp, seg_upsample=seg_upsample,
                    decode_cat=decode_cat, quant=quant,
-                   stem_s2d=stem_s2d, act_store=act_store), spec
+                   stem_s2d=stem_s2d, act_store=act_store,
+                   det_fp_hops=det_fp_hops), spec
 
 
 def init_model(model: DeSeNet, rng, img_size: int = 640, batch: int = 1):

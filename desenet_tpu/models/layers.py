@@ -339,10 +339,23 @@ def qt_maybe_cat(xs):
     """int8 analog of maybe_cat: keep the implicit concat (consumer runs the
     int8 split-conv) when every part is MXU-wide, else materialize via
     qt_concat (requant to a common scale). Same width gate as bf16 — narrow
-    int8 parts starve the MXU contraction just the same."""
-    if all(v.data.shape[-1] >= SPLIT_CONV_MIN_PART for v in xs):
+    int8 parts starve the MXU contraction just the same.
+
+    Parts may be fp at a quant boundary (e.g. det_fp_hops keeps a Concat
+    input's producer full-precision): wide mixed lists stay implicit (the
+    int8 consumer quantizes fp parts at its per-part input-scale slice,
+    ConvBnAct._int8_call); narrow mixed lists materialize in fp and the
+    consumer re-quantizes the whole concat at its calibrated 'in' site."""
+    if all((v.data if isinstance(v, QTensor) else v).shape[-1]
+           >= SPLIT_CONV_MIN_PART for v in xs):
         return list(xs)
-    return Q.qt_concat(xs)
+    if all(isinstance(v, QTensor) for v in xs):
+        return Q.qt_concat(xs)
+    fp_dt = next((v.dtype for v in xs if not isinstance(v, QTensor)),
+                 jnp.float32)
+    parts = [Q.dequantize(v, fp_dt) if isinstance(v, QTensor) else v
+             for v in xs]
+    return jnp.concatenate(widen_mixed(parts), axis=-1)
 
 
 def _spatial(x):
@@ -351,6 +364,31 @@ def _spatial(x):
     if isinstance(x, QTensor):
         x = x.data
     return x.shape[1:3]
+
+
+def quantize_at_boundary(mdl, x, site: str):
+    """Quantize any fp entries of ``x`` (tensor or implicit-concat list) at
+    the module's calibrated input ``site`` scale — the quant-boundary entry
+    used by int8 conv blocks whose producer stayed fp (det_fp_hops, det-src
+    exclusions). With per_channel_act the calibrated 'in' scale is a vector
+    over the CONCAT of all list parts, so each fp part takes its own slice
+    at its running channel offset (sow_in_range sows in the same order)."""
+    if isinstance(x, (list, tuple)):
+        if all(isinstance(v, QTensor) for v in x):
+            return list(x)
+        s_in = mdl.quant.scale_for(Q.site_key(mdl, site))
+        parts, off = [], 0
+        for v in x:
+            c = (v.data if isinstance(v, QTensor) else v).shape[-1]
+            if not isinstance(v, QTensor):
+                sv = s_in if np.ndim(s_in) == 0 else s_in[off:off + c]
+                v = Q.quantize(v, sv)
+            parts.append(v)
+            off += c
+        return parts
+    if not isinstance(x, QTensor):
+        return Q.quantize(x, mdl.quant.scale_for(Q.site_key(mdl, site)))
+    return x
 
 
 
@@ -399,12 +437,9 @@ class ConvBnAct(nn.Module):
         if isinstance(x, (list, tuple)) and self.g != 1:
             x = Q.qt_concat(x)  # grouped conv can't slice the kernel freely
         # fp input at a quant boundary (e.g. after an fp-kept det-src layer):
-        # quantize at the calibrated input-site scale
-        if isinstance(x, (list, tuple)):
-            x = [v if isinstance(v, QTensor) else Q.quantize(
-                v, self.quant.scale_for(Q.site_key(self, "in"))) for v in x]
-        elif not isinstance(x, QTensor):
-            x = Q.quantize(x, self.quant.scale_for(Q.site_key(self, "in")))
+        # quantize at the calibrated input-site scale, slicing per-channel
+        # vectors by part offsets (quantize_at_boundary)
+        x = quantize_at_boundary(self, x, "in")
         p = autopad(self.k, self.p)
         pad = ((p, p), (p, p)) if isinstance(p, int) else tuple(
             (v, v) for v in p)
@@ -606,7 +641,10 @@ class C3(nn.Module):
 
     def _int8_fused_stem(self, x):
         """int8 cv12 (+bn12+silu folded into the requant epilogue); list
-        input = implicit concat via the int8 split-conv."""
+        input = implicit concat via the int8 split-conv. fp inputs at a
+        quant boundary (det_fp_hops exclusions) quantize at the calibrated
+        cv12_in site first."""
+        x = quantize_at_boundary(self, x, "cv12_in")
         params = self.variables["params"]
         bn = Q.bn_fold_constants(params["bn12"]["bn"],
                                  self.variables["batch_stats"]["bn12"]["bn"])
@@ -664,10 +702,13 @@ class C3(nn.Module):
                 y = BatchNorm(self.dtype, name="bn12")(y, train)
                 y = silu(y)
                 if q is not None and q.is_calib:
+                    xs = x if isinstance(x, (list, tuple)) else [x]
                     Q.sow_absmax(self, "cv12_out", y)
-                    Q.sow_channel_mean(
-                        self, "cv12_inmean",
-                        x if isinstance(x, (list, tuple)) else [x])
+                    # input-site range: consumed only when this fused C3
+                    # sits at a quant boundary (det_fp_hops) and must
+                    # quantize an fp input itself
+                    Q.sow_in_range(self, "cv12_in", xs)
+                    Q.sow_channel_mean(self, "cv12_inmean", xs)
                 if q is not None and q.is_int8:  # initializing
                     y = Q.quantize(
                         y, q.scale_for(Q.site_key(self, "cv12_out")))

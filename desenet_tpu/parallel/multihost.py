@@ -37,6 +37,7 @@ __all__ = [
     "local_batch_slice",
     "global_batch_from_local",
     "sync_hosts",
+    "broadcast_str",
 ]
 
 
@@ -118,8 +119,65 @@ def global_batch_from_local(local_batch, mesh: Mesh):
     return jax.tree.map(promote, local_batch)
 
 
-def sync_hosts(tag: str = "sync") -> None:
-    """Barrier across processes (reference dist.barrier() analog)."""
-    from jax.experimental import multihost_utils
+def broadcast_str(tag: str, value: Optional[str] = None,
+                  timeout_s: float = 600.0) -> str:
+    """Process 0 publishes a string under ``tag``; every other process
+    blocks until it appears and returns it (distributed KV store — no
+    device collective, so safe before any compile). Used e.g. to agree on
+    the run's resolved save_dir (increment_path runs on process 0 only).
 
-    multihost_utils.sync_global_devices(tag)
+    Tags get a per-process sequence suffix (like sync_hosts) so the same
+    tag may be broadcast again on a later train() call without a KV-key
+    collision; all processes must make the same sequence of calls."""
+    if jax.process_count() == 1:
+        return value
+    seq = _BCAST_SEQ["n"]
+    _BCAST_SEQ["n"] = seq + 1
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        raise RuntimeError("broadcast_str needs jax.distributed.initialize")
+    if jax.process_index() == 0:
+        client.key_value_set(f"{tag}#{seq}", value)
+        return value
+    return client.blocking_key_value_get(f"{tag}#{seq}",
+                                         int(timeout_s * 1000))
+
+
+_BCAST_SEQ = {"n": 0}
+
+
+_BARRIER_SEQ = {"n": 0}
+
+
+def sync_hosts(tag: str = "sync", timeout_s: float = 900.0) -> None:
+    """Barrier across processes (reference dist.barrier() analog).
+
+    Implemented on the distributed-runtime KV store
+    (``DistributedRuntimeClient.wait_at_barrier``), NOT on a device
+    collective: a gloo all-gather barrier is itself subject to the ~30 s
+    gloo context rendezvous window, which compile-time skew between
+    processes can blow (observed when one process hit a stale host-keyed
+    AOT cache while its peer recompiled cold — the peer arrived at the
+    rendezvous minutes late and the early process died DEADLINE_EXCEEDED).
+    The KV barrier has an explicit, generous timeout and touches no device.
+
+    Barrier ids get a per-process sequence suffix so a tag may be reused;
+    correctness requires every process to execute the same *sequence* of
+    sync_hosts calls, which the barrier then enforces.
+    """
+    if jax.process_count() == 1:
+        return
+    seq = _BARRIER_SEQ["n"]
+    _BARRIER_SEQ["n"] = seq + 1
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # distributed runtime not via jax.distributed
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"{tag}#{seq}")
+        return
+    client.wait_at_barrier(f"{tag}#{seq}",
+                           timeout_in_ms=int(timeout_s * 1000))

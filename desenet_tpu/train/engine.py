@@ -116,6 +116,12 @@ class TrainConfig:
     # with image/label HEIGHT sharded over 'spatial' (parallel/mesh.py) —
     # for when per-device batch would drop below 1 (huge images/many chips).
     # imgsz must keep the deepest feature map >= 2 rows/shard (check_spatial)
+    fused_seg_loss: bool = True  # train the seg head at 1/8 resolution and
+    # compute the CE-vs-8x-upsample objective with the tiled fused kernel
+    # (ops/seg_ce.py) instead of materializing the full-res logits + their
+    # cotangent — same loss/grads to f32 summation order; the dominant
+    # single activation of the l/b128 step disappears. --no-fused-seg-loss
+    # restores the literal reference formulation.
 
 
 def load_hyp(path: Optional[str]) -> Dict:
@@ -145,12 +151,17 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     is_main = jax.process_index() == 0
     if pc > 1:
         from desenet_tpu.parallel.multihost import (
-            global_batch_from_local, sync_hosts)
+            broadcast_str, global_batch_from_local, sync_hosts)
 
         if cfg.batch_size % pc:
             raise ValueError(
                 f"global batch {cfg.batch_size} not divisible by "
                 f"{pc} processes")
+        if cfg.quad and (cfg.batch_size // pc) % 4:
+            raise ValueError(
+                f"--quad needs the per-process batch "
+                f"({cfg.batch_size}/{pc}={cfg.batch_size // pc}) divisible "
+                f"by 4 (collate groups 4 images per super-image)")
         if cfg.spatial > 1:
             raise ValueError(
                 "multi-process training supports spatial=1 only (per-host "
@@ -183,8 +194,12 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                 snap[k] = v
             yaml.safe_dump(snap, f)
     else:
-        # never written to on non-main processes; kept for the return value
-        save_dir = os.path.join(cfg.project, cfg.name)
+        save_dir = None  # resolved below: process 0 broadcasts its
+        # increment_path result so every process (and the Validator) agrees
+        # on the REAL run directory even when exist_ok=False bumped it
+    if pc > 1:
+        save_dir = broadcast_str("save_dir",
+                                 save_dir if is_main else None)
 
     loggers = None
     if is_main:
@@ -239,11 +254,18 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
     de_names = (["item"] if cfg.single_cls else list(data["de"]["names"]))
 
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
     # training uses the unfused C3 layout (its backward is ~15% faster than
     # the fused variant; inference loaders auto-migrate checkpoints back to
-    # the fused layout)
-    model, spec = build_model(config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
-                              remat=cfg.remat, fused_csp=False, dtype=dtype)
+    # the fused layout); with fused_seg_loss the TRAIN model returns 1/8-res
+    # seg logits (the upsample carries no params — the eval model for
+    # validation is built with the ordinary full-res head below)
+    def _build(seg_upsample: bool, anchors=None):
+        return build_model(config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
+                           anchors=anchors, remat=cfg.remat, fused_csp=False,
+                           dtype=dtype, seg_upsample=seg_upsample)
+
+    model, spec = _build(not cfg.fused_seg_loss)
     imgsz = check_img_size(cfg.imgsz, s=max(spec.det_strides))
 
     variables = init_model(model, jax.random.PRNGKey(cfg.seed),
@@ -325,6 +347,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
 
     # autoanchor BPR gate (train.py:243-245); model rebuild is cheap — the
     # param shapes don't depend on anchor values
+    final_anchors = None
     if not cfg.noautoanchor:
         from desenet_tpu.utils.autoanchor import check_anchors
 
@@ -337,11 +360,8 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
             imgsz=imgsz, seed=cfg.seed,
         )
         if changed:
-            model, spec = build_model(
-                config_path(cfg.cfg), nc=de_nc, se_nc=se_nc,
-                anchors=new_anchors, remat=cfg.remat, fused_csp=False,
-                dtype=dtype,
-            )
+            final_anchors = new_anchors
+            model, spec = _build(not cfg.fused_seg_loss, anchors=new_anchors)
 
     # loss gains scaled like train.py:258-260
     nl = len(spec.det_strides)
@@ -428,8 +448,14 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         seg_gain=cfg.seg_gain, freeze=cfg.freeze, n_params=n_params,
     )
 
+    # validation needs full-res seg logits (mIoU argmax at label
+    # resolution); with the fused train loss the train model returns 1/8-res
+    # — build the eval twin (identical param tree: the upsample is a
+    # parameter-free matrix contraction)
+    eval_model = (model if not cfg.fused_seg_loss
+                  else _build(True, anchors=final_anchors)[0])
     validator = Validator(
-        model, nc=de_nc, se_nc=se_nc, single_cls=cfg.single_cls,
+        eval_model, nc=de_nc, se_nc=se_nc, single_cls=cfg.single_cls,
         save_dir=save_dir, names={i: n for i, n in enumerate(de_names)},
     )
     stopper = EarlyStopping(patience=cfg.patience)
@@ -448,6 +474,13 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         )
     t_start = time.time()
     final_results = {}
+    # Multi-process: the first train-step execution opens the gloo (CPU) /
+    # ICI communicator with a short rendezvous window — all processes must
+    # arrive within it. Compile times can skew arbitrarily (cold vs warm
+    # persistent cache), so each process AOT-compiles the step FIRST and
+    # then waits at a KV-store barrier (generous timeout, no device
+    # involvement) before the first execution.
+    compile_synced = pc <= 1
     rng = jax.random.PRNGKey(cfg.seed + 1)
     ms_rng = np.random.default_rng(cfg.seed + 7)
     stride_max = max(spec.det_strides)
@@ -502,6 +535,14 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
             if not already_staged:
                 batch = _place(batch)
             rng, step_rng = jax.random.split(rng)
+            if not compile_synced:
+                # lowering+compiling does not execute (and so does not
+                # donate `state`); the subsequent call hits the persistent
+                # compile cache, leaving only trace-time skew (~seconds)
+                # between processes at the collective rendezvous
+                step_fn.lower(state, batch, step_rng).compile()
+                sync_hosts("train_step_compiled")
+                compile_synced = True
             state, metrics = step_fn(state, batch, step_rng)
             loss_hist.append((metrics["lbox"], metrics["lobj"],
                               metrics["lcls"], metrics["lseg"]))

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from desenet_tpu.losses import DetectionLoss, segmentation_loss
+from desenet_tpu.ops.seg_ce import upsampled_ce
 from desenet_tpu.train import optim as O
 from desenet_tpu.train.ema import ema_update
 from desenet_tpu.train.schedule import warmup_interp
@@ -113,10 +114,19 @@ def make_train_step(
             )
             # masks arrive uint8 (collate keeps them narrow: 4x less host
             # memcpy + host->device traffic at b128/640); widen on-device
-            seg_l = segmentation_loss(
-                seg_out, batch["seg_labels"].astype(jnp.int32),
-                aux_weight=seg_aux_weight
-            )
+            seg_lab = batch["seg_labels"].astype(jnp.int32)
+            if (not isinstance(seg_out, (list, tuple))
+                    and seg_out.shape[1:3] != seg_lab.shape[1:3]):
+                # model built with seg_upsample=False: the head returned
+                # 1/8-res logits — compute the reference objective (CE vs
+                # the 8x align_corners=True upsample, yolo.py:170-183 +
+                # loss.py:242-243) with the tiled fused kernel instead of
+                # materializing the (B, H, W, C) map + its cotangent
+                seg_l = upsampled_ce(seg_out, seg_lab, seg_lab.shape[1:3],
+                                     align_corners=True)
+            else:
+                seg_l = segmentation_loss(seg_out, seg_lab,
+                                          aux_weight=seg_aux_weight)
             total = det_gain * det_total + seg_gain * seg_l
             return total, (comps, seg_l, new_bs)
 

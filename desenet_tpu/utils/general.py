@@ -27,14 +27,43 @@ def set_logging(verbose: bool = True):
     )
 
 
+def host_cache_tag() -> str:
+    """8-hex digest of this host's CPU feature set (for cache-dir keying).
+
+    XLA's persistent compilation cache stores CPU AOT executables whose
+    cache key does NOT include host CPU features: after a container
+    migrates to a different machine type, stale entries are *loaded* and
+    then rejected at run time (cpu_aot_loader "+feature is not supported on
+    the host machine"), turning a warm cache into an unbounded recompile —
+    which in multi-process runs skews workers enough to blow the ~30 s
+    gloo rendezvous window. Keying the cache DIRECTORY by the feature set
+    turns that silent rot into a clean cold-cache miss on the new host.
+    """
+    import hashlib
+    import platform
+
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo", encoding="utf-8", errors="ignore") as f:
+            for ln in f:
+                if ln.split(":")[0].strip() in ("flags", "Features"):
+                    feats += " " + " ".join(sorted(ln.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(feats.encode()).hexdigest()[:8]
+
+
 def enable_compile_cache(root: Optional[str] = None):
-    """Point JAX's persistent compilation cache at <repo>/.jax_cache.
+    """Point JAX's persistent compilation cache at <repo>/.jax_cache-<host>.
 
     One shared helper for every bench/probe entry point (bench.py,
     tools/bench_family.py, tools/probe_bench_parts.py,
     tools/bench_train_e2e.py): warm reruns skip the multi-minute tunnel
     compile. Honors DESENET_BENCH_NO_CACHE=1 (flag-sweep probes must not
-    cross-pollinate executables compiled under different options).
+    cross-pollinate executables compiled under different options). The dir
+    is keyed by :func:`host_cache_tag` so executables AOT-compiled on a
+    different machine type are never loaded.
     """
     if os.environ.get("DESENET_BENCH_NO_CACHE"):
         return
@@ -44,7 +73,7 @@ def enable_compile_cache(root: Optional[str] = None):
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(root, ".jax_cache"))
+                      os.path.join(root, f".jax_cache-{host_cache_tag()}"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

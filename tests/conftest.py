@@ -25,10 +25,18 @@ jax.config.update("jax_platforms", "cpu")
 # programs (every engine test compiles the tiny train step; resume runs
 # recompile it verbatim), and the cache is shared across subprocess workers
 # (multihost tests) too. Cold suite cost drops accordingly; correctness is
-# keyed on HLO+flags by JAX itself.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache_cpu")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
+# keyed on HLO+flags by JAX itself — EXCEPT host CPU features, which XLA's
+# CPU AOT cache key omits (entries from another machine type load and then
+# fail at run time). The dir is therefore keyed by host_cache_tag(): a
+# cache carried across a container migration becomes a clean cold miss
+# instead of a per-process recompile-skew source (see
+# tests/test_multihost_engine.py).
+from desenet_tpu.utils.general import host_cache_tag  # noqa: E402
+
+CPU_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    f".jax_cache_cpu-{host_cache_tag()}")
+jax.config.update("jax_compilation_cache_dir", CPU_CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np

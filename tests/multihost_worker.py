@@ -51,7 +51,16 @@ def main():
     batch = global_batch_from_local(local, mesh)
 
     state = replicate_tree(create_train_state(variables, opt), mesh)
-    state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    # compile first, THEN rendezvous: the first executed collective opens
+    # the gloo communicator with a short window that compile-time skew
+    # (e.g. one process warm-cached, the other cold) can blow — same
+    # hardening as the engine (train/engine.py)
+    from desenet_tpu.parallel.multihost import sync_hosts
+
+    rng = jax.random.PRNGKey(3)
+    step.lower(state, batch, rng).compile()
+    sync_hosts("step_compiled")
+    state, metrics = step(state, batch, rng)
 
     # fully-replicated outputs are addressable on every process
     loss = float(metrics["loss"])

@@ -26,6 +26,8 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 TINY_CFG = os.path.join(HERE, "configs", "tiny_psp2.yaml")
 
+from tests.conftest import CPU_CACHE_DIR  # noqa: E402  (host-keyed)
+
 
 def _free_port():
     s = socket.socket()
@@ -86,8 +88,11 @@ def test_engine_two_process_matches_single(micro_root, tmp_path):
             os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
             PALLAS_AXON_POOL_IPS="",
             # share the suite's persistent compile cache (both workers and
-            # the in-process baseline compile the same tiny programs)
-            JAX_COMPILATION_CACHE_DIR=os.path.join(REPO, ".jax_cache_cpu"),
+            # the in-process baseline compile the same tiny programs); the
+            # dir is keyed by host CPU features (conftest.CPU_CACHE_DIR) so
+            # a cache carried from another machine type is a clean cold
+            # miss for BOTH workers, never an asymmetric recompile
+            JAX_COMPILATION_CACHE_DIR=CPU_CACHE_DIR,
             DESENET_COORDINATOR=coordinator,
             DESENET_NUM_PROCESSES="2",
             DESENET_PROCESS_ID=str(pid),
@@ -149,3 +154,79 @@ def test_engine_two_process_matches_single(micro_root, tmp_path):
     ds = _param_digest(os.path.join(single["save_dir"], "last"))
     for k in dm:
         assert np.isclose(dm[k], ds[k], rtol=1e-4), (k, dm, ds)
+
+
+def _launch_engine(data_yaml, projects, nproc, devices_per_proc, extra=()):
+    coordinator = f"localhost:{_free_port()}"
+    procs = []
+    for pid in range(nproc):
+        env = dict(
+            os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+            PALLAS_AXON_POOL_IPS="",
+            JAX_COMPILATION_CACHE_DIR=CPU_CACHE_DIR,
+            DESENET_COORDINATOR=coordinator,
+            DESENET_NUM_PROCESSES=str(nproc),
+            DESENET_PROCESS_ID=str(pid),
+            DESENET_CPU_DEVICES_PER_PROC=str(devices_per_proc),
+        )
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "desenet_tpu.cli.train",
+             *_cli_args(data_yaml, projects[pid]), *extra],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-6000:]}"
+    return outs
+
+
+def _best_fitness(out):
+    fit = [ln for ln in out.splitlines() if "best_fitness=" in ln]
+    assert fit, out[-2000:]
+    return float(fit[0].split("best_fitness=")[1].split()[0])
+
+
+@pytest.fixture(scope="module")
+def uneven_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh_uneven")
+    generate(str(root), n_train=23, n_val=4, size=96, seed=13)
+    return str(root)
+
+
+def test_engine_two_process_uneven_shards(uneven_root, tmp_path):
+    """23 train imgs / 2 procs -> ranks own 12 and 11 samples; local bs 4
+    -> one rank's loader yields 3 drop_last batches, the other's 2, while
+    nb = (23//2)//4 = 2. The spare-batch break (train/engine.py `i >= nb`)
+    MUST fire on the long rank each epoch or its extra step's collectives
+    deadlock against a rank that already left the loop — exactly the
+    uneven-shard hang this test exists to catch (reference analog:
+    DistributedSampler keeps ranks step-aligned, train.py:223-226)."""
+    data_yaml = os.path.join(uneven_root, "data.yaml")
+    projects = [str(tmp_path / f"proj_p{pid}") for pid in range(2)]
+    outs = _launch_engine(data_yaml, projects, nproc=2, devices_per_proc=4)
+
+    # completion (not hanging) is the core assertion; then consistency:
+    assert "done:" in outs[0] and "done:" in outs[1]
+    assert _best_fitness(outs[0]) == pytest.approx(_best_fitness(outs[1]))
+    sd0 = os.path.join(projects[0], "mh")
+    rows = _read_results_csv(sd0)
+    assert len(rows) == 2  # both epochs ran on process 0
+    assert os.path.exists(os.path.join(sd0, "last", "meta.json"))
+    assert not os.path.exists(projects[1])  # rank-0 artifact guards held
+
+
+def test_engine_four_process_smoke(micro_root, tmp_path):
+    """4 processes x 2 CPU devices: the same engine path at a process count
+    where pairwise gloo cliques and the KV barriers genuinely fan out."""
+    data_yaml = os.path.join(micro_root, "data.yaml")
+    projects = [str(tmp_path / f"proj_p{pid}") for pid in range(4)]
+    outs = _launch_engine(data_yaml, projects, nproc=4, devices_per_proc=2,
+                          extra=("--epochs", "1"))
+    fits = [_best_fitness(out) for out in outs]
+    assert all("done:" in out for out in outs)
+    assert all(f == pytest.approx(fits[0]) for f in fits[1:])
+    sd0 = os.path.join(projects[0], "mh")
+    assert os.path.exists(os.path.join(sd0, "last", "meta.json"))
+    for pid in range(1, 4):
+        assert not os.path.exists(projects[pid])

@@ -307,7 +307,10 @@ def test_int8_per_channel_activations(tiny_fp, rng):
         a, b = a.ravel(), b.ravel()
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
 
-    m_pt, _, _ = Q.quantize_for_inference(CFG, variables, [x])
+    # explicit per-tensor baseline (per_channel_act now DEFAULTS to True,
+    # so the default build would compare the per-channel model to itself)
+    m_pt, _, _ = Q.quantize_for_inference(CFG, variables, [x],
+                                          per_channel_act=False)
     (dec_pt, _), _ = m_pt.apply(variables, x, train=False)
 
     m_pc, _, scales = Q.quantize_for_inference(CFG, variables, [x],
@@ -323,3 +326,30 @@ def test_int8_per_channel_activations(tiny_fp, rng):
     # per-element error must not blow up anywhere
     assert float(np.abs(dec_fp[..., :2]
                         - np.asarray(dec_pc)[..., :2]).mean()) < 1.0
+
+
+@pytest.mark.slow
+def test_int8_det_fp_hops(tiny_fp, rng):
+    """det_fp_hops=2 keeps one more ring of compute layers fp: the int8
+    detection output must track the fp model at least as closely as the
+    default one-hop exclusion (more fp coverage can only reduce
+    quantization error on the det path)."""
+    model, spec, variables = tiny_fp
+    variables = _boost_variables(variables, rng)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    (dec_fp, _), _ = model.apply(variables, x, train=False)
+    dec_fp = np.asarray(dec_fp, np.float32)
+
+    def cos(a):
+        a = np.asarray(a, np.float32).ravel()
+        b = dec_fp.ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    m1, _, _ = Q.quantize_for_inference(CFG, variables, [x])
+    (dec_1, _), _ = m1.apply(variables, x, train=False)
+    m2, _, _ = Q.quantize_for_inference(CFG, variables, [x], det_fp_hops=2)
+    (dec_2, _), _ = m2.apply(variables, x, train=False)
+    assert np.isfinite(np.asarray(dec_2)).all()
+    assert cos(dec_2) >= cos(dec_1) - 1e-3, (cos(dec_2), cos(dec_1))
+    # the two exclusion sets genuinely differ
+    assert not np.allclose(np.asarray(dec_2), np.asarray(dec_1))
