@@ -95,6 +95,9 @@ def fused_psp2_eval(xs: Sequence[jax.Array], params, batch_stats,
     b, h8, w8, _ = l16.shape
     p8 = h8 * w8
     dt = l16.dtype
+    # channel widths from the weight shapes — s/m/l all supported
+    # (c_hid = 128/192/256, ACSP inner = c_hid//2, ctx = 4*(c_hid//6//4))
+    c16 = l16.shape[-1]
 
     sp = params["spatial_path"]
     sbs = batch_stats["spatial_path"]
@@ -123,6 +126,10 @@ def fused_psp2_eval(xs: Sequence[jax.Array], params, batch_stats,
     wout = params["out"]["conv2d"]["kernel"][0, 0]
     bout = params["out"]["conv2d"]["bias"].astype(F32)
 
+    c_hid = wm8.shape[-1]          # stem width (s 128 / m 192 / l 256)
+    inner = w0b.shape[-1]          # ACSP branch width (c_hid // 2 ... s 64)
+    nctx = wpp1.shape[-1] * 4      # context concat width (4 pyramid levels)
+
     # ---- XLA part: m16/m32 stem conv+BN+SiLU at native resolution, then
     # the 1x1 branch0_a / context_red slices, THEN the (commuting) bilinear
     # upsample — summed contribution planes for the kernel
@@ -141,15 +148,19 @@ def fused_psp2_eval(xs: Sequence[jax.Array], params, batch_stats,
         return resize_bilinear(v, (h8, w8), align_corners=True).reshape(
             b, p8, c)
 
-    w0a_16 = jnp.einsum("bpc,cd->bpd", g16, w0a[128:256].astype(dt),
+    w0a_16 = jnp.einsum("bpc,cd->bpd", g16,
+                        w0a[c_hid:2 * c_hid].astype(dt),
                         preferred_element_type=F32)
-    w0a_32 = jnp.einsum("bpc,cd->bpd", g32, w0a[256:384].astype(dt),
+    w0a_32 = jnp.einsum("bpc,cd->bpd", g32,
+                        w0a[2 * c_hid:3 * c_hid].astype(dt),
                         preferred_element_type=F32)
-    red_16 = jnp.einsum("bpc,cd->bpd", g16, wred[128:256].astype(dt),
+    red_16 = jnp.einsum("bpc,cd->bpd", g16,
+                        wred[c_hid:2 * c_hid].astype(dt),
                         preferred_element_type=F32)
-    red_32 = jnp.einsum("bpc,cd->bpd", g32, wred[256:384].astype(dt),
+    red_32 = jnp.einsum("bpc,cd->bpd", g32,
+                        wred[2 * c_hid:3 * c_hid].astype(dt),
                         preferred_element_type=F32)
-    asum = (up(w0a_16, l19, 64) + up(w0a_32, l22, 64)).astype(dt)
+    asum = (up(w0a_16, l19, inner) + up(w0a_32, l22, inner)).astype(dt)
     rsum = (up(red_16, l19, wred.shape[-1])
             + up(red_32, l22, wred.shape[-1])).astype(dt)
 
@@ -166,15 +177,16 @@ def fused_psp2_eval(xs: Sequence[jax.Array], params, batch_stats,
         return w.astype(dt)
 
     weights = [cw(wm8), bm8,
-               cw(w0a[0:128]), b0a, cw(w0b), b0b, cw(w1), b1,
+               cw(w0a[0:c_hid]), b0a, cw(w0b), b0b, cw(w1), b1,
                cw(w2), b2, cw(wg),
-               cw(wlin), blin, cw(wred[0:128]), bred,
+               cw(wlin), blin, cw(wred[0:c_hid]), bred,
                cw(wpp1), cw(wpp2), bpp2, cw(wpp3), bpp3,
                cw(wpp6), bpp6,
                cw(wcb), bcb, cw(wfc1), cw(wfc2),
                cw(wout), bout] + kmats
 
-    kernel = _make_psp2_kernel((h8, w8), n_segcls, dt)
+    kernel = _make_psp2_kernel((h8, w8), n_segcls, dt,
+                               dims=(c16, c_hid, inner, nctx))
 
     img_ins = [l16, asum, rsum]
     img_specs = [
@@ -200,9 +212,10 @@ def fused_psp2_eval(xs: Sequence[jax.Array], params, batch_stats,
     return out.reshape(b, h8, w8, n_segcls)
 
 
-def _make_psp2_kernel(hw, n_segcls: int, dt):
+def _make_psp2_kernel(hw, n_segcls: int, dt, dims=(128, 128, 64, 20)):
     h8, w8 = hw
     p8 = h8 * w8
+    c16, c_hid, inner, nctx_total = dims
 
     def act(acc_f32):
         return _silu_f32(acc_f32).astype(dt)
@@ -231,19 +244,21 @@ def _make_psp2_kernel(hw, n_segcls: int, dt):
                wcb, bcb, wfc1, wfc2, wout, bout,
                pk2, uk2, pk3, uk3, pk6, uk6,
                out_ref):
-        x8 = l16_ref[0].reshape(p8, 128)
+        x8 = l16_ref[0].reshape(p8, c16)
         f8 = act(_mm(x8, wm8[...]) + bm8[...])
 
         # ---- ACSP spatial path
         x0a = act(_mm(f8, w0a8[...]) + asum_ref[0].astype(F32) + b0a[...])
-        x0 = act(conv3x3(x0a, 64, w0b[...], b0b[...], 1))
-        x1 = act(conv3x3(x0, 64, w1[...], b1[...], 2))
-        x2 = act(conv3x3(x1, 64, w2[...], b2[...], 3))
+        x0 = act(conv3x3(x0a, inner, w0b[...], b0b[...], 1))
+        x1 = act(conv3x3(x0, inner, w1[...], b1[...], 2))
+        x2 = act(conv3x3(x1, inner, w2[...], b2[...], 3))
         gm = jnp.mean(x2.astype(F32), axis=0, keepdims=True).astype(dt)
         gv = _silu_f32(_mm(gm, wg[...])).astype(dt)  # BN skipped (1x1 quirk)
         wlin_ = wlin[...]
-        spatial = act(_mm(x0, wlin_[0:64]) + _mm(x1, wlin_[64:128])
-                      + _mm(x2, wlin_[128:192]) + _mm(gv, wlin_[192:256])
+        spatial = act(_mm(x0, wlin_[0:inner])
+                      + _mm(x1, wlin_[inner:2 * inner])
+                      + _mm(x2, wlin_[2 * inner:3 * inner])
+                      + _mm(gv, wlin_[3 * inner:4 * inner])
                       + blin[...])
 
         # ---- context path: red -> pyramid pooling (k=1,2,3,6)
@@ -263,8 +278,8 @@ def _make_psp2_kernel(hw, n_segcls: int, dt):
         # ---- FFM: 3x3 conv over [spatial | ctx] + channel attention
         wcb_ = wcb[...]
         nctx = ctx.shape[-1]
-        feat = act(conv3x3(spatial, 128, wcb_[:, :, 0:128], bcb[...], 1,
-                           extra=ctx, w2=wcb_[:, :, 128:128 + nctx],
+        feat = act(conv3x3(spatial, c_hid, wcb_[:, :, 0:c_hid], bcb[...], 1,
+                           extra=ctx, w2=wcb_[:, :, c_hid:c_hid + nctx],
                            cin2=nctx))
         m = jnp.mean(feat.astype(F32), axis=0, keepdims=True).astype(dt)
         a1 = _silu_f32(_mm(m, wfc1[...])).astype(dt)

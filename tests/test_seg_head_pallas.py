@@ -12,16 +12,19 @@ from desenet_tpu.models import heads as H
 from desenet_tpu.ops.seg_head_pallas import fused_psp2_eval
 
 
-def make_inputs(rng, b=2, h8=16, w8=16):
+def make_inputs(rng, b=2, h8=16, w8=16, c16=128):
+    # neck tap widths scale together across s/m/l (c16 = 256*gw = c_hid)
     return [
-        jnp.asarray(rng.normal(size=(b, h8, w8, 128)).astype(np.float32)),
-        jnp.asarray(rng.normal(size=(b, h8 // 2, w8 // 2, 256)).astype(np.float32)),
-        jnp.asarray(rng.normal(size=(b, h8 // 4, w8 // 4, 512)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, h8, w8, c16)).astype(np.float32)),
+        jnp.asarray(rng.normal(
+            size=(b, h8 // 2, w8 // 2, 2 * c16)).astype(np.float32)),
+        jnp.asarray(rng.normal(
+            size=(b, h8 // 4, w8 // 4, 4 * c16)).astype(np.float32)),
     ]
 
 
-def init_head(xs, n_segcls=3):
-    head = H.SegMaskPSP2(n_segcls=n_segcls, c_hid=128, dtype=jnp.float32,
+def init_head(xs, n_segcls=3, c_hid=128):
+    head = H.SegMaskPSP2(n_segcls=n_segcls, c_hid=c_hid, dtype=jnp.float32,
                          upsample=False)
     v = head.init(jax.random.PRNGKey(0), xs, train=False)
     return head, v
@@ -41,6 +44,23 @@ def test_fused_head_matches_xla(hw):
     rng = np.random.default_rng(0)
     xs = make_inputs(rng, h8=hw[0], w8=hw[1])
     head, v = init_head(xs)
+    v = randomize_stats(v, rng)
+    ref = head.apply(v, xs, train=False)
+    out = fused_psp2_eval(xs, v["params"], v["batch_stats"], 3,
+                          interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("c_hid", [192, 256])  # m / l widths
+def test_fused_head_matches_xla_family(c_hid):
+    """The kernel's channel parameterization (stem width, ACSP inner,
+    pyramid/ctx widths all derived from the weight shapes) must hold at the
+    m/l family scales, not just the s shapes it was written against."""
+    rng = np.random.default_rng(2)
+    xs = make_inputs(rng, b=1, h8=8, w8=16, c16=c_hid)
+    head, v = init_head(xs, c_hid=c_hid)
     v = randomize_stats(v, rng)
     ref = head.apply(v, xs, train=False)
     out = fused_psp2_eval(xs, v["params"], v["batch_stats"], 3,

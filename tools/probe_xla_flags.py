@@ -18,6 +18,9 @@ B = int(os.environ.get("PROBE_B", "64"))
 ITERS = int(os.environ.get("PROBE_ITERS", "4"))
 CFG = os.environ.get("PROBE_CFG", "yolov5s_seg")  # family knob validation
 REMAT = os.environ.get("PROBE_REMAT") == "1"  # activation rematerialization
+SEG_UP = os.environ.get("PROBE_SEG_UPSAMPLE", "1") == "1"  # 0 = 1/8-res
+# head + fused tiled upsample+CE loss (the production engine default,
+# ops/seg_ce.py); 1 = materialized full-res logits (the literal formulation)
 
 
 def main():
@@ -30,7 +33,8 @@ def main():
     from desenet_tpu.train.optim import OptimConfig
 
     model, spec = build_model(config_path(CFG), dtype=jnp.bfloat16,
-                              fused_csp=False, remat=REMAT)
+                              fused_csp=False, remat=REMAT,
+                              seg_upsample=SEG_UP)
     variables = init_model(model, jax.random.PRNGKey(0), img_size=SIZE,
                            batch=1)
     det = spec.layers[spec.det_layer]
