@@ -394,6 +394,13 @@ class DeSeNet(nn.Module):
     # activations on the EVAL path: ConvBnAct outputs are written to HBM in
     # this dtype, compute stays in `dtype` (layers.act_store_scope). Layers
     # feeding Detect are excluded (same policy as int8). None = off.
+    seg_head_fused: bool = False  # eval-only: run SegMaskPSP2 as the fused
+    # Pallas whole-head-in-VMEM kernel (ops/seg_head_pallas.py) instead of
+    # the XLA module graph. Measured a wash at s (PERF.md round 2); exposed
+    # for the m/l economics question (round-4 attribution: 14.3 ms / 17% of
+    # the m forward at neither-roofline utilization). Falls back to the XLA
+    # path off-TPU, in train mode, under quant/act_store, or when the
+    # per-image working set exceeds MAX_P8.
     det_fp_hops: int = 1  # how many COMPUTE layers upstream of Detect stay
     # full-precision under int8/fp8 modes. 1 (default) = the direct det-src
     # layers (through pass-through rows); 2 also keeps their producers fp —
@@ -517,9 +524,28 @@ class DeSeNet(nn.Module):
                 inp = [inp]
             return self._mods[f"l{ls.i}"](inp, train=train)
         if ls.name in _SEG_HEADS:
-            return self._mods[f"l{ls.i}"](
-                inp if isinstance(inp, list) else [inp], train=train
-            )
+            xs = inp if isinstance(inp, list) else [inp]
+            if (self.seg_head_fused and not train
+                    and ls.name == "SegMaskPSP2"
+                    and self.quant is None and self.act_store is None
+                    and not self.is_initializing()
+                    and jax.default_backend() == "tpu"):
+                from desenet_tpu.ops.seg_head_pallas import (MAX_P8,
+                                                             fused_psp2_eval)
+
+                if xs[0].shape[1] * xs[0].shape[2] <= MAX_P8:
+                    out = fused_psp2_eval(
+                        xs, self.variables["params"][f"l{ls.i}"],
+                        self.variables["batch_stats"][f"l{ls.i}"],
+                        int(ls.args[0])).astype(self.dtype)
+                    if self.seg_upsample:
+                        from desenet_tpu.ops.resize import resize_bilinear
+
+                        h8, w8 = out.shape[1:3]
+                        out = resize_bilinear(out, (h8 * 8, w8 * 8),
+                                              align_corners=True)
+                    return out
+            return self._mods[f"l{ls.i}"](xs, train=train)
         m = self._mods[f"l{ls.i}"]
 
         def run_mod(mod, y, _train=train):
@@ -593,6 +619,7 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                 decode_cat: bool = True,
                 stem_s2d: bool = False,
                 act_store=None,
+                seg_head_fused: bool = False,
                 det_fp_hops: int = 1) -> Tuple[DeSeNet, ModelSpec]:
     if isinstance(act_store, str):
         act_store = {"fp8": jnp.float8_e4m3fn,
@@ -607,6 +634,7 @@ def build_model(cfg, ch: int = 3, nc: Optional[int] = None,
                    fused_csp=fused_csp, seg_upsample=seg_upsample,
                    decode_cat=decode_cat, quant=quant,
                    stem_s2d=stem_s2d, act_store=act_store,
+                   seg_head_fused=seg_head_fused,
                    det_fp_hops=det_fp_hops), spec
 
 

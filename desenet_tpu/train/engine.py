@@ -446,6 +446,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
         model, det_loss, opt_cfg, lf, nb=nb, warmup_iters=warmup_iters,
         nominal_bs=cfg.nbs, batch_size=cfg.batch_size, det_gain=cfg.det_gain,
         seg_gain=cfg.seg_gain, freeze=cfg.freeze, n_params=n_params,
+        fused_seg=cfg.fused_seg_loss,
     )
 
     # validation needs full-res seg logits (mIoU argmax at label
@@ -579,7 +580,7 @@ def train(cfg: TrainConfig, callbacks: Optional[Callbacks] = None) -> Dict:
                 "batch_stats": state.ema_batch_stats,
             }
             if pc > 1:  # detach from the global mesh -> local single-device
-                ema_vars = jax.tree.map(np.asarray, ema_vars)
+                ema_vars = jax.device_get(ema_vars)  # batched async pull
             callbacks.run("on_val_start")
             results = validator.run(ema_vars, val_loader)
             callbacks.run("on_val_end")

@@ -57,6 +57,12 @@ def make_train_step(
     n_params: Optional[int] = None,  # model parameter count; gates the
     # "auto" latency-hiding scheduler (measured win ONLY for the s-scale
     # model at b128; REGRESSION at m/b128 and s/b64 — PERF.md rounds 3-4)
+    fused_seg: bool = False,  # caller hint: the model returns 1/8-res seg
+    # logits and the step runs the fused tiled upsample+CE (engine default).
+    # On THAT program the latency-hiding scheduler wins at every measured
+    # scale/batch (s/b64 +30%, s/b128 record, l/b64 +23%, m/b128 neutral —
+    # PERF.md round 5: the loss scan serializes the default schedule; LHS
+    # restores the overlap), so "auto" enables it unconditionally.
     _force_select_path: bool = False,  # test hook: disable the always-step
     # specialization to compare it bit-for-bit against the general path
 ):
@@ -100,7 +106,7 @@ def make_train_step(
             # Save ONLY conv outputs (tagged via checkpoint_name in
             # layers.py); the backward recomputes the cheap BN/SiLU
             # elementwise chains instead of materializing them in the
-            # forward. Requires DESENET_CONV_CKPT_NAME=1 (import-time gate).
+            # forward.
             fwd = jax.checkpoint(
                 fwd,
                 policy=jax.checkpoint_policies.save_only_these_names(
@@ -245,8 +251,10 @@ def make_train_step(
         # the batch and a small-model hint (n_params from the caller;
         # unknown -> off, the safe default). Override explicitly
         # (compiler_options={...}/None) or via DESENET_NO_LHS.
-        if (jax.default_backend() == "tpu" and batch_size >= 128
-                and n_params is not None and n_params < 15_000_000
+        lhs = (fused_seg  # fused-CE program: measured win/neutral everywhere
+               or (batch_size >= 128  # materialized-loss legacy gate
+                   and n_params is not None and n_params < 15_000_000))
+        if (jax.default_backend() == "tpu" and lhs
                 and not os.environ.get("DESENET_NO_LHS")):
             kw["compiler_options"] = {
                 "xla_tpu_enable_latency_hiding_scheduler": "true"}

@@ -37,7 +37,12 @@ SCHEMA_VERSION = 3
 
 
 def _to_numpy_tree(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Batched device->host pull. jax.device_get starts every leaf's
+    transfer asynchronously before blocking; a per-leaf np.asarray pays a
+    full round trip PER LEAF, which on a remote-tunneled device turns each
+    checkpoint save into minutes (~1500 leaves x ~70 ms RTT measured on the
+    axon tunnel — the round-5 2-min/epoch regression)."""
+    return jax.device_get(tree)
 
 
 def _checkpointer() -> ocp.Checkpointer:
@@ -74,6 +79,8 @@ def save_checkpoint(
 ):
     """Write a full training checkpoint to `path` (a directory)."""
     path = os.path.abspath(path)
+    # one batched pull across ALL state trees (see _to_numpy_tree)
+    state = jax.device_get(state)
     payload = {
         "params": _to_numpy_tree(state.params),
         "batch_stats": _to_numpy_tree(state.batch_stats),

@@ -51,8 +51,11 @@ def main():
     B, S, ITERS = args.batch, args.size, args.iters
     for name in args.models.split(","):
         cfg = config_path(f"yolov5{name.strip()}_seg")
-        model, spec = build_model(cfg, dtype=jnp.bfloat16,
-                                  seg_upsample=False, stem_s2d=True)
+        model, spec = build_model(
+            cfg, dtype=jnp.bfloat16, seg_upsample=False, stem_s2d=True,
+            # A/B knob for the fused Pallas SegMaskPSP2 head (wash at s,
+            # PERF.md round 2; m/l economics probe, round 5)
+            seg_head_fused=os.environ.get("DESENET_FUSED_SEG_HEAD") == "1")
         variables = init_model(model, jax.random.PRNGKey(0), img_size=S,
                                batch=1)
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
