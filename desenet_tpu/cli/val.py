@@ -271,8 +271,13 @@ def parse_opt(argv=None):
 def main(argv=None):
     set_logging()
     o = parse_opt(argv)
-    from desenet_tpu.utils.general import set_matmul_precision
+    from desenet_tpu.utils.general import (enable_compile_cache,
+                                           set_matmul_precision)
 
+    # warm reruns (ablation series: --int8 variants, precision sweeps) skip
+    # the multi-minute tunnel compile; host-feature-keyed dir, DESENET_
+    # BENCH_NO_CACHE=1 opts out
+    enable_compile_cache()
     set_matmul_precision(o.matmul_precision)
     if o.save_dir is None:
         # runs/val/exp, exp2, ... like the reference (val.py:172-173)
